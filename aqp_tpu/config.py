@@ -1,0 +1,70 @@
+"""Runtime configuration for the engine.
+
+The reference drives variants through a CMake compile-time flag matrix
+(UNROLL, MUTEX_QUEUE, CONSTANT_RADIX_BITS, FORCE_2_PHASES, CHUNKED_TABLE,
+MAX_PARTITIONS, CACHE_DIVISOR, KEY_8B — Join-Benchmarks/README.md:104-117 and
+lib/Joins/CMakeLists.txt:24-50) plus a getopt CLI (`joinconfig_t`,
+lib/SharedHeaders/include/data-types.h:160-176).  On TPU every knob is a
+runtime (jit-static) field of one dataclass — no rebuilds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# VMEM is the TPU analog of the reference's L2 cache when sizing radix
+# partitions (radix_join.cpp:295-345 sizes partitions to L2/CACHE_DIVISOR).
+VMEM_BYTES = 16 * 1024 * 1024
+# Default target rows per final partition for partition-local join kernels.
+DEFAULT_PARTITION_ROWS = 1 << 13
+
+
+@dataclasses.dataclass(frozen=True)
+class JoinConfig:
+    """Jit-static join configuration (analog of joinconfig_t + CFLAGS matrix).
+
+    Fields must stay hashable — the dataclass is passed as a static argument
+    to jitted join entry points.
+    """
+
+    # Number of radix bits per relation pass; None → computed from |R| like
+    # calc_num_radix_bits (radix_join.cpp:295-317) with VMEM standing in for L2.
+    radix_bits: Optional[int] = None
+    # Force number of partition passes (reference FORCE_2_PHASES / calc_num_passes
+    # radix_join.cpp:319-329); None → derived.
+    passes: Optional[int] = None
+    # Materialize join output (key, r_payload, s_payload) — reference
+    # MATERIALIZE / CHUNKED_TABLE.  False → count + checksum only.
+    materialize: bool = False
+    # 64-bit keys/payloads (reference KEY_8B, data-types.h:6-12).
+    key64: bool = False
+    # Hash-table load factor for no-partition joins (npj_params.h sizes the
+    # bucket array at |R|/BUCKET_SIZE).
+    load_factor: float = 0.5
+    # Bounded linear-probe window for open-addressing probes.
+    probe_window: int = 8
+    # Rows per partition targeted by the partitioning planner.
+    partition_rows: int = DEFAULT_PARTITION_ROWS
+    # Use Pallas kernels where available (False → pure-XLA reference path).
+    use_pallas: bool = True
+    # Skew handling: split partitions larger than this multiple of the mean
+    # (analog of the reference's task-queue stealing + MWAY SKEW_* consts,
+    # joincommon.h:25-29).
+    skew_threshold: float = 8.0
+    # Sharded execution: name of the mesh axis to shuffle over (None → single
+    # device).
+    shard_axis: Optional[str] = None
+
+    @property
+    def key_dtype(self):
+        return jnp.int64 if self.key64 else jnp.int32
+
+    @property
+    def payload_dtype(self):
+        return jnp.int64 if self.key64 else jnp.int32
+
+    def replace(self, **kw) -> "JoinConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,110 @@
+"""Nested-loop and index-nested-loop joins (NL, INL equivalents).
+
+Reference: nested_loop_join.cpp:54-100 (NL: partitioned outer loop, each
+thread scans all of S per R chunk) and :160-217 (INL: stx::btree on S,
+per-R-row range lookup).
+
+TPU design: NL is a *blocked all-pairs compare* — R tiles × S tiles on the
+VPU, the honest dense analog of the O(|R|·|S|) scan (only sensible for small
+inputs, as in the reference where NL/INL are baselines).  INL's btree is
+replaced by the TPU-native ordered index: a sorted key array; lookups are
+vectorized binary search (searchsorted).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from aqp_tpu.config import JoinConfig
+from aqp_tpu.joins.api import register
+from aqp_tpu.joins.common import to_join_result
+from aqp_tpu.ops import mergejoin
+from aqp_tpu.relation import Relation
+from aqp_tpu.utils.timing import PhaseTimer
+
+_NL_TILE = 2048
+
+
+@jax.jit
+def _nl_count(r_key, r_payload, s_key, s_payload):
+    """Blocked all-pairs equality: Σ_tiles (R_tile[:,None] == S_tile[None,:]).
+
+    Unique-R not required — full multiplicity counted.
+    """
+    nr, ns = r_key.shape[0], s_key.shape[0]
+    pr = (-nr) % _NL_TILE
+    ps = (-ns) % _NL_TILE
+    rk = jnp.concatenate([r_key, jnp.full((pr,), -1, r_key.dtype)]).reshape(-1, _NL_TILE)
+    rp = jnp.concatenate([r_payload, jnp.zeros((pr,), r_payload.dtype)]).reshape(-1, _NL_TILE)
+    sk = jnp.concatenate([s_key, jnp.full((ps,), -2, s_key.dtype)]).reshape(-1, _NL_TILE)
+    sp = jnp.concatenate([s_payload, jnp.zeros((ps,), s_payload.dtype)]).reshape(-1, _NL_TILE)
+
+    def s_tile(carry, si):
+        skt, spt = si
+
+        def r_tile(c, ri):
+            rkt, rpt = ri
+            eq = rkt[:, None] == skt[None, :]
+            m = jnp.sum(eq, dtype=jnp.int32)
+            ck = jnp.sum(
+                jnp.where(
+                    eq,
+                    rpt[:, None].astype(jnp.uint32) + spt[None, :].astype(jnp.uint32),
+                    0,
+                ),
+                dtype=jnp.uint32,
+            )
+            return (c[0] + m, c[1] + ck), None
+
+        c, _ = jax.lax.scan(r_tile, carry, (rk, rp))
+        return c, None
+
+    (m, ck), _ = jax.lax.scan(s_tile, (jnp.int32(0), jnp.uint32(0)), (sk, sp))
+    return mergejoin.JoinCounts(m, ck)
+
+
+@register("NL")
+def NL(relR: Relation, relS: Relation, cfg: JoinConfig):
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    out = pt.time_fn("join", _nl_count, relR.key, relR.payload, relS.key, relS.payload)
+    if cfg.materialize:
+        # NL is a counting baseline in the reference too (no materialize path)
+        pass
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t
+
+
+@jax.jit
+def _inl_probe(sorted_rk, sorted_rp, s_key, s_payload):
+    pos = jnp.searchsorted(sorted_rk, s_key)
+    pos = jnp.clip(pos, 0, sorted_rk.shape[0] - 1)
+    hit = sorted_rk[pos] == s_key
+    rpay = jnp.where(hit, sorted_rp[pos], 0)
+    matches = jnp.sum(hit, dtype=jnp.int32)
+    checksum = jnp.sum(
+        jnp.where(hit, rpay.astype(jnp.uint32) + s_payload.astype(jnp.uint32), 0),
+        dtype=jnp.uint32,
+    )
+    return mergejoin.JoinCounts(matches, checksum)
+
+
+@register("INL")
+def INL(relR: Relation, relS: Relation, cfg: JoinConfig):
+    """Index NL: ordered index = sorted array (btree analog), vectorized
+    binary-search probes.  Unique build keys (as the reference's PK btree)."""
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    rk, rp = pt.time_fn(
+        "build",
+        jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)),
+        relR.key,
+        relR.payload,
+    )
+    out = pt.time_fn("probe", _inl_probe, rk, rp, relS.key, relS.payload)
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t

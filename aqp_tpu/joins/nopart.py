@@ -1,0 +1,209 @@
+"""No-partition hash join engines: PHT family, NPO_st/NPO_no, NPBC_st.
+
+Reference: no_partitioning_hash_join.cpp:165-539 — a shared bucket-chained
+hash table (2 tuples/bucket, a spinlock latch per bucket), built in parallel
+by all threads, then probed (HashLinkTableCommon.cpp:110-140).  Variants:
+`_no` (no overflow buckets), `_un` (goto-template unrolled build, factor 10),
+`_o` (overflow chains), `_st` (single-threaded), NPBC_st (bucket-chaining
+via next/bucket arrays, no_partitioning_bucket_chaining_join.cpp:51-125).
+
+TPU design — no latches, no chains: a vectorized **open-addressing** table.
+Build resolves collisions with rounds of `scatter-min` (the slot's winner is
+the minimum key contending for it; losers advance — parallel linear
+probing).  Slots fill monotonically (EMPTY→occupied, never back), so the
+classic probe invariant holds: a key stored at displacement d implies no
+empty slot before it, and probes may stop at the first EMPTY.  The probe
+gathers a window of consecutive slots per key and falls back to a bounded
+while-loop for the rare longer displacement.
+
+Requires unique build keys (true for every reference workload: PK build
+sides).  `run_join` falls back to the general sort-merge core for duplicate
+build keys via joins/sortmerge.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+
+from aqp_tpu.config import JoinConfig
+from aqp_tpu.joins.api import register
+from aqp_tpu.joins.common import result_capacity, to_join_result
+from aqp_tpu.ops.hashing import fib_hash32
+from aqp_tpu.ops import mergejoin
+from aqp_tpu.relation import Relation
+from aqp_tpu.utils.timing import PhaseTimer
+
+EMPTY = jnp.int32(2147483647)  # INT32_MAX — generated keys are < 2^31
+_MAX_BUILD_ROUNDS = 64
+
+
+@functools.partial(jax.jit, static_argnames=("table_bits",))
+def build_table(r_key, r_payload, table_bits: int):
+    """Open-addressing build via scatter-min rounds.
+
+    Returns (table_key[T+slack], table_payload[T+slack], max_displacement).
+    The slack region absorbs linear-probe overflow past the table end (no
+    wraparound — simpler vectorized probes, same expected displacement).
+    """
+    T = 1 << table_bits
+    slack = _MAX_BUILD_ROUNDS
+    tkey = jnp.full((T + slack,), EMPTY, jnp.int32)
+    slot0 = fib_hash32(r_key, table_bits)
+
+    def cond(state):
+        _, _, active, rounds = state
+        # rounds bound guarantees termination even for adversarial key sets
+        # (leftover rows would overflow the slack region and be dropped —
+        # impossible at load <= 0.5 with < 2^26 build rows in practice).
+        return jnp.any(active) & (rounds < _MAX_BUILD_ROUNDS)
+
+    def body(state):
+        tkey, slot, active, rounds = state
+        target = jnp.where(active, slot, T + slack)  # drop non-active
+        tkey = tkey.at[target].min(r_key, mode="drop")
+        cur = tkey[slot]
+        settled = cur == r_key
+        # cur < key ⇒ slot owned by a smaller key: advance (also re-activates
+        # previously settled rows that were evicted by a smaller key).
+        slot = jnp.where(settled, slot, slot + 1)
+        return tkey, slot, ~settled, rounds + 1
+
+    tkey, slot, _, rounds = jax.lax.while_loop(
+        cond, body, (tkey, slot0, jnp.ones_like(r_key, dtype=bool), jnp.int32(0))
+    )
+    # unique keys ⇒ unique final slots ⇒ payload scatter is conflict-free
+    tpay = jnp.zeros((T + slack,), jnp.int32).at[slot].set(
+        r_payload, unique_indices=True, mode="drop"
+    )
+    max_disp = jnp.max(slot - slot0)
+    return tkey, tpay, max_disp
+
+
+@functools.partial(jax.jit, static_argnames=("table_bits", "window"))
+def probe_table(tkey, tpay, s_key, table_bits: int, window: int):
+    """Windowed vectorized probe: gather `window` consecutive slots, then a
+    while-loop for rows still unresolved (neither hit nor EMPTY seen)."""
+    slot0 = fib_hash32(s_key, table_bits)
+    found = jnp.zeros_like(s_key, dtype=bool)
+    rpay = jnp.zeros_like(s_key)
+    open_ = jnp.zeros_like(s_key, dtype=bool)  # saw EMPTY ⇒ definitive miss
+    for w in range(window):
+        k = tkey[slot0 + w]
+        hit = (~found) & (~open_) & (k == s_key)
+        rpay = jnp.where(hit, tpay[slot0 + w], rpay)
+        found = found | hit
+        open_ = open_ | ((~found) & (k == EMPTY))
+
+    def cond(state):
+        w, found, open_, _ = state
+        return jnp.any(~(found | open_)) & (w < jnp.int32(tkey.shape[0]))
+
+    def body(state):
+        w, found, open_, rpay = state
+        k = tkey[slot0 + w]
+        hit = (~found) & (~open_) & (k == s_key)
+        rpay = jnp.where(hit, tpay[slot0 + w], rpay)
+        found = found | hit
+        open_ = open_ | ((~(found | open_)) & (k == EMPTY))
+        return w + 1, found, open_, rpay
+
+    _, found, open_, rpay = jax.lax.while_loop(
+        cond, body, (jnp.int32(window), found, open_, rpay)
+    )
+    return found, rpay
+
+
+@functools.partial(jax.jit, static_argnames=("table_bits", "window", "capacity"))
+def _probe_and_finish(tkey, tpay, s_key, s_payload, table_bits, window, capacity):
+    found, rpay = probe_table(tkey, tpay, s_key, table_bits, window)
+    matches = jnp.sum(found, dtype=jnp.int32)
+    checksum = jnp.sum(
+        jnp.where(found, rpay.astype(jnp.uint32) + s_payload.astype(jnp.uint32), 0),
+        dtype=jnp.uint32,
+    )
+    if capacity == 0:
+        return mergejoin.JoinCounts(matches, checksum)
+    inv = (~found).astype(jnp.int32)
+    _, out_k, out_rp, out_sp = jax.lax.sort(
+        (inv, s_key, rpay, s_payload), num_keys=1
+    )
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    live = idx < matches
+    n = out_k.shape[0]
+    take = min(capacity, n)
+    pad = capacity - take
+    def fit(x):
+        x = x[:take]
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return jnp.where(live, x, 0)
+    return mergejoin.JoinMaterialized(
+        matches, checksum, fit(out_k), fit(out_rp), fit(out_sp)
+    )
+
+
+def table_bits_for(num_r: int, load_factor: float) -> int:
+    # open addressing with a bounded build-round budget needs load <= 0.5;
+    # higher requested loads (chain-style variants) are clamped — the chain
+    # role is played by the probe window instead.
+    load_factor = min(load_factor, 0.5)
+    return max(4, math.ceil(math.log2(max(2, num_r / load_factor))))
+
+
+def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int):
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    tb = table_bits_for(relR.num_tuples, cfg.load_factor)
+    tkey, tpay, _ = pt.time_fn("build", build_table, relR.key, relR.payload, tb)
+    cap = result_capacity(relS, cfg) if cfg.materialize else 0
+    out = pt.time_fn(
+        "probe", _probe_and_finish, tkey, tpay, relS.key, relS.payload, tb, window, cap
+    )
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t
+
+
+@register("PHT")
+def PHT(relR, relS, cfg):
+    return _nopart(relR, relS, cfg, window=cfg.probe_window)
+
+
+@register("PHT_no")
+def PHT_no(relR, relS, cfg):
+    """No-overflow variant — tighter window, larger table (load 0.25)."""
+    return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2), window=4)
+
+
+@register("PHT_un")
+def PHT_un(relR, relS, cfg):
+    """'Unrolled' variant — wider probe window in one vector pass (the
+    reference unrolls the build/probe loops by 10, :280-345)."""
+    return _nopart(relR, relS, cfg, window=max(10, cfg.probe_window))
+
+
+@register("PHT_o")
+def PHT_o(relR, relS, cfg):
+    """Overflow-chain variant — smaller table (load 1.0), longer probes."""
+    return _nopart(relR, relS, cfg.replace(load_factor=min(1.0, cfg.load_factor * 2)), window=max(16, cfg.probe_window))
+
+
+@register("NPO_st")
+def NPO_st(relR, relS, cfg):
+    return _nopart(relR, relS, cfg, window=cfg.probe_window)
+
+
+@register("NPO_no")
+def NPO_no(relR, relS, cfg):
+    return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2), window=4)
+
+
+@register("NPBC_st")
+def NPBC_st(relR, relS, cfg):
+    """Bucket-chaining analog (next/bucket arrays) — open addressing with
+    load 1.0 plays the chain role."""
+    return _nopart(relR, relS, cfg.replace(load_factor=1.0), window=max(16, cfg.probe_window))

