@@ -1,0 +1,79 @@
+"""Hash shuffle: the distributed radix-partition pass.
+
+The reference's analog is the shared-memory exchange plan: per-thread
+histograms + global prefix sums give each thread disjoint scatter ranges
+(radix_join.cpp:886-931).  Across chips there is no shared memory, so the
+exchange is explicit: each shard buckets its rows by destination
+(`partition_hash` of the key over the axis size), packs them into
+fixed-capacity per-destination send buffers (XLA collectives need static
+shapes — the capacity plays the reference's padding role,
+prj_params.h:94), and `all_to_all` routes them over ICI/DCN.
+
+Rows are (key, payload) pairs; unused buffer slots carry sentinel keys that
+can never match (PAD_R = -1 for build side, PAD_S = -2 for probe side).
+An overflow counter reports rows dropped when a destination bucket exceeds
+capacity — callers size capacity with a safety factor and re-shuffle with a
+salted hash if overflow occurs (skew escape hatch; see parallel/skew.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from aqp_tpu.ops.hashing import partition_hash
+
+PAD_R = jnp.int32(-1)
+PAD_S = jnp.int32(-2)
+
+
+def _pack_send_buffers(key, payload, n_dest: int, capacity: int, pad_key, salt: int):
+    """Bucket local rows by destination into a (n_dest, capacity) buffer.
+
+    Local reorder is a stable sort by destination (the fast reorder primitive
+    on this hardware); slot indices inside each destination come from the
+    position minus the destination's start offset.
+    """
+    bits = max(1, (n_dest - 1).bit_length())
+    dest = partition_hash(key, bits, salt=salt) % n_dest
+    dest = jnp.where(key == pad_key, n_dest, dest)  # pre-padded rows → dropped
+    d, k, p = jax.lax.sort((dest, key, payload), num_keys=1, is_stable=True)
+    n = k.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # start offset of each row's destination run = first index with same dest:
+    # computed from histogram prefix (one-hot sum keeps us off slow scatters).
+    hist = jnp.sum(
+        (d[:, None] == jnp.arange(n_dest + 1)[None, :]).astype(jnp.int32), axis=0
+    )
+    starts = jnp.cumsum(hist) - hist
+    slot = pos - starts[jnp.clip(d, 0, n_dest)]
+    in_cap = (slot < capacity) & (d < n_dest)
+    overflow = jnp.sum((slot >= capacity) & (d < n_dest), dtype=jnp.int32)
+    flat_idx = jnp.where(in_cap, d * capacity + slot, n_dest * capacity)
+    buf_k = jnp.full((n_dest * capacity + 1,), pad_key, k.dtype).at[flat_idx].set(
+        k, unique_indices=True, mode="drop"
+    )[:-1]
+    buf_p = jnp.zeros((n_dest * capacity + 1,), p.dtype).at[flat_idx].set(
+        p, unique_indices=True, mode="drop"
+    )[:-1]
+    return (
+        buf_k.reshape(n_dest, capacity),
+        buf_p.reshape(n_dest, capacity),
+        overflow,
+    )
+
+
+def shuffle_relation(key, payload, axis: str, capacity: int, pad_key, salt: int = 0):
+    """Inside shard_map: route rows to the shard owning hash(key).
+
+    Returns (key[n*capacity], payload[n*capacity], overflow) — the rows now
+    resident on this shard (padded with pad_key).
+    """
+    n = jax.lax.axis_size(axis)
+    bk, bp, ovf = _pack_send_buffers(key, payload, n, capacity, pad_key, salt)
+    rk = jax.lax.all_to_all(bk, axis, split_axis=0, concat_axis=0, tiled=False)
+    rp = jax.lax.all_to_all(bp, axis, split_axis=0, concat_axis=0, tiled=False)
+    ovf_total = jax.lax.psum(ovf, axis)
+    return rk.reshape(-1), rp.reshape(-1), ovf_total

@@ -4,7 +4,7 @@ reference lacks)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,5 +15,8 @@ if "host_platform_device_count" not in flags:
 # runs hit the cache and finish in seconds.
 import jax
 
+# The environment's sitecustomize registers the axon TPU plugin and forces
+# the platform list; override back to CPU for hermetic, fast tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/aqp_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
