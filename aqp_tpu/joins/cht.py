@@ -87,12 +87,12 @@ def CHT(relR: Relation, relS: Relation, cfg: JoinConfig):
             _, k, rp, spp = jax.lax.sort((inv, sk, rpay, sp), num_keys=1)
             idx = jnp.arange(cap, dtype=jnp.int32)
             live = idx < matches
-            def fit(x):
+            def fit(x, fill=0):
                 x = x[:cap] if cap <= x.shape[0] else jnp.concatenate(
                     [x, jnp.zeros((cap - x.shape[0],), x.dtype)]
                 )
-                return jnp.where(live, x, 0)
-            return fit(k), fit(rp), fit(spp)
+                return jnp.where(live, x, fill)
+            return fit(k, -3), fit(rp), fit(spp)
 
         k, rp, sp = pt.time_fn("materialize", mat, hit, relS.key, rpay, relS.payload)
         out = mergejoin.JoinMaterialized(matches, checksum, k, rp, sp)

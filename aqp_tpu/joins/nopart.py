@@ -137,13 +137,13 @@ def _probe_and_finish(tkey, tpay, s_key, s_payload, table_bits, window, capacity
     n = out_k.shape[0]
     take = min(capacity, n)
     pad = capacity - take
-    def fit(x):
+    def fit(x, fill=0):
         x = x[:take]
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-        return jnp.where(live, x, 0)
+        return jnp.where(live, x, fill)
     return mergejoin.JoinMaterialized(
-        matches, checksum, fit(out_k), fit(out_rp), fit(out_sp)
+        matches, checksum, fit(out_k, -3), fit(out_rp), fit(out_sp)
     )
 
 

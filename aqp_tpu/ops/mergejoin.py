@@ -124,10 +124,11 @@ def merge_join_materialize(
         out_k = jnp.concatenate([out_k, z])
         out_rp = jnp.concatenate([out_rp, z])
         out_sp = jnp.concatenate([out_sp, z])
-    # zero the invalid tail so results are deterministic
+    # sentinel the invalid tail so results are deterministic and the output
+    # can feed a further join without phantom matches (key -3 never occurs)
     idx = jnp.arange(capacity, dtype=jnp.int32)
     live = idx < matches
-    out_k = jnp.where(live, out_k, 0)
+    out_k = jnp.where(live, out_k, -3)
     out_rp = jnp.where(live, out_rp, 0)
     out_sp = jnp.where(live, out_sp, 0)
     return JoinMaterialized(matches, checksum, out_k, out_rp, out_sp)
