@@ -48,20 +48,64 @@ class JoinMaterialized(NamedTuple):
     s_payload: jax.Array
 
 
-def _last_valid_scan(valid, a, b):
-    """Forward-propagate the most recent (a, b) where valid; associative."""
+_FF_BLOCK = 1024
 
-    def op(x, y):
-        xv, xa, xb = x
-        yv, ya, yb = y
-        keep_y = yv
-        return (
-            xv | yv,
-            jnp.where(keep_y, ya, xa),
-            jnp.where(keep_y, yb, xb),
+
+def _shift_right(x, d, fill):
+    return jnp.concatenate([jnp.full(x.shape[:-1] + (d,), fill, x.dtype),
+                            x[..., :-d]], axis=-1)
+
+
+def _ff_doubling(valid, arrays, width):
+    """Hillis-Steele fill-forward along the last axis (log2(width) rounds)."""
+    d = 1
+    while d < width:
+        sv = _shift_right(valid, d, False)
+        take = (~valid) & sv
+        arrays = tuple(
+            jnp.where(take, _shift_right(a, d, 0), a) for a in arrays
         )
+        valid = valid | sv
+        d *= 2
+    return valid, arrays
 
-    return jax.lax.associative_scan(op, (valid, a, b))
+
+def _last_valid_scan(valid, a, b):
+    """Forward-propagate the most recent (a, b) where valid (inclusive).
+
+    Implemented as a blocked Hillis-Steele doubling scan (flat graph of
+    shift+select stages) — `lax.associative_scan` over a tuple builds a
+    recursive graph whose compile time explodes at 10M+ elements on the TPU
+    toolchain; this formulation compiles in seconds at any size.
+    """
+    n = valid.shape[0]
+    if n <= _FF_BLOCK:
+        v, (ra, rb) = _ff_doubling(valid, (a, b), n)
+        return v, ra, rb
+    pad = (-n) % _FF_BLOCK
+    if pad:
+        z = jnp.zeros((pad,), a.dtype)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        a = jnp.concatenate([a, z])
+        b = jnp.concatenate([b, z])
+    nb = valid.shape[0] // _FF_BLOCK
+    v = valid.reshape(nb, _FF_BLOCK)
+    av = a.reshape(nb, _FF_BLOCK)
+    bv = b.reshape(nb, _FF_BLOCK)
+    v, (av, bv) = _ff_doubling(v, (av, bv), _FF_BLOCK)
+    # exclusive cross-block prefix of the per-block "last valid"
+    pv, pa, pb = _last_valid_scan(v[:, -1], av[:, -1], bv[:, -1])
+    pv = jnp.concatenate([jnp.zeros((1,), bool), pv[:-1]])
+    pa = jnp.concatenate([jnp.zeros((1,), pa.dtype), pa[:-1]])
+    pb = jnp.concatenate([jnp.zeros((1,), pb.dtype), pb[:-1]])
+    take = (~v) & pv[:, None]
+    av = jnp.where(take, pa[:, None], av)
+    bv = jnp.where(take, pb[:, None], bv)
+    v = v | pv[:, None]
+    out_v = v.reshape(-1)[:n]
+    out_a = av.reshape(-1)[:n]
+    out_b = bv.reshape(-1)[:n]
+    return out_v, out_a, out_b
 
 
 def join_sorted_union(r_key, r_payload, s_key, s_payload):

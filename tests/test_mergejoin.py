@@ -71,8 +71,9 @@ def test_materialize_matches_oracle():
         )
     )
     assert got == sorted(rows)
-    # invalid tail zeroed
-    assert np.all(np.asarray(res.key)[m:] == 0)
+    # invalid tail carries the non-joinable sentinel key
+    assert np.all(np.asarray(res.key)[m:] == -3)
+    assert np.all(np.asarray(res.r_payload)[m:] == 0)
 
 
 def test_selectivity_oracle():
