@@ -46,7 +46,8 @@ from aqp_tpu.ops.pallas.blocksort import (
     to_colmajor,
 )
 
-GRAN = 512  # copy granule rows (2 KiB per array), also the region slack
+GRAN_ROWS = 4          # copy granule: 4 rows of 128 = 512 elements (2 KiB)
+GRAN = GRAN_ROWS * 128  # granule/slack in elements
 _Q = 8      # DMA pipeline depth
 
 
@@ -97,11 +98,14 @@ def _make_sort_hist_kernel(F: int, sub: int):
         ok_ref[:] = _cm_to_rm(k, sub)
         op_ref[:] = _cm_to_rm(p, sub)
         scale = scale_ref[0]
+        srow = pl.program_id(0) % 8
 
-        def bucket_of(e):
-            kv = ok_ref[e // LANES, e % LANES]
-            # bucket on the UNPACKED key (bit 0 is the R/S tag): a key's
-            # build and probe rows must land in the same region.
+        def bucket_of_row(r):
+            # first element of row-major row r (lane 0: Mosaic allows scalar
+            # VMEM reads only at statically lane-aligned indices).  Bucket on
+            # the UNPACKED key (bit 0 is the R/S tag) so a key's build and
+            # probe rows co-locate.
+            kv = ok_ref[r, 0]
             bb = jnp.minimum(
                 ((kv >> 1).astype(jnp.float32) * scale).astype(jnp.int32),
                 F - 1,
@@ -110,6 +114,9 @@ def _make_sort_hist_kernel(F: int, sub: int):
             return jax.lax.select(kv == KEY_PAD_INT, jnp.int32(F), bb)
 
         def find(f, _):
+            # first ROW whose leading element has bucket >= f; bucket f data
+            # may begin mid-row (handled by the glue's one-row back-off and
+            # K-D's bucket masking).
             def cond(state):
                 lo, hi = state
                 return lo < hi
@@ -118,15 +125,15 @@ def _make_sort_hist_kernel(F: int, sub: int):
                 lo, hi = state
                 mid = (lo + hi) // 2
                 return jax.lax.cond(
-                    bucket_of(mid) < f,
+                    bucket_of_row(mid) < f,
                     lambda: (mid + 1, hi),
                     lambda: (lo, mid),
                 )
 
             lo, _hi = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), jnp.int32(block))
+                cond, body, (jnp.int32(0), jnp.int32(sub))
             )
-            starts_ref[0, f] = lo
+            starts_ref[srow, f] = lo
             return _
 
         jax.lax.fori_loop(0, F + 1, find, 0, unroll=False)
@@ -150,29 +157,33 @@ def sort_and_hist(key, payload, scale, F: int, sub: int, interpret: bool = False
         out_specs=[
             pl.BlockSpec((sub, LANES), lambda i, s: (i, 0)),
             pl.BlockSpec((sub, LANES), lambda i, s: (i, 0)),
-            pl.BlockSpec((1, F + 1), lambda i, s: (i, 0)),
+            pl.BlockSpec((8, F + 1), lambda i, s: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
         ],
     )
+    nb8 = -(-nb // 8) * 8
     ok, op, starts = pl.pallas_call(
         _make_sort_hist_kernel(F, sub),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb * sub, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nb * sub, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nb, F + 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb8, F + 1), jnp.int32),
         ],
         interpret=interpret,
     )(scale.reshape(1), k2, p2)
     # outputs are row-major logical: flat view is the logical order
-    return ok.reshape(-1), op.reshape(-1), starts
+    return ok.reshape(-1), op.reshape(-1), starts[:nb]
 
 
 def _make_scatter_kernel(F: int, block: int):
     def kernel(starts_ref, dst_ref, src_k, src_p, _ik, _ip, out_k, out_p, sem):
         b = pl.program_id(0)
         base = b * block
+        srow = b % 8
 
         def mk(slot, soff, doff):
+            # offsets in ELEMENTS (always 128-row aligned by construction)
             ck = pltpu.make_async_copy(
                 src_k.at[pl.ds(soff, GRAN)], out_k.at[pl.ds(doff, GRAN)],
                 sem.at[0, slot],
@@ -186,10 +197,12 @@ def _make_scatter_kernel(F: int, block: int):
         init = (jnp.int32(0),) + tuple(jnp.int32(0) for _ in range(2 * _Q))
 
         def do_bucket(f, carry):
-            s0 = starts_ref[0, f]
-            s1 = starts_ref[0, f + 1]
-            cnt = s1 - s0
-            dstf = dst_ref[0, f]
+            # row-granular segment [max(r0-1,0), r1) in elements
+            r0 = jnp.maximum(starts_ref[srow, f] - 1, 0)
+            r1 = starts_ref[srow, f + 1]
+            s0 = r0 * 128
+            cnt = jnp.maximum(r1 - r0, 0) * 128
+            dstf = dst_ref[srow, f]
             ngr = (cnt + GRAN - 1) // GRAN
 
             def gran(g, carry):
@@ -254,8 +267,10 @@ def scatter_pass(sorted_k, sorted_p, starts, dst, F: int, block: int,
         _make_scatter_kernel(F, block),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, F + 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, F), lambda i: (i, 0)),
+            pl.BlockSpec((8, F + 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, F), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),

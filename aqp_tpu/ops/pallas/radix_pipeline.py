@@ -56,26 +56,33 @@ def _ff_boundary_invalid(shape, d, sub):
     return lane < (d // sub)
 
 
-def _make_region_join_kernel(sub: int):
+def _make_region_join_kernel(sub: int, F: int):
     block = sub * LANES
 
-    def kernel(tot_ref, k_ref, p_ref, m_ref, c_ref):
+    def kernel(scale_ref, k_ref, p_ref, m_ref, c_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             m_ref[0, 0] = jnp.int32(0)
-            c_ref[0, 0] = jnp.uint32(0)
+            c_ref[0, 0] = jnp.int32(0)
 
-        k = _rm_to_cm(k_ref[:], sub)
-        p = _rm_to_cm(p_ref[:], sub)
-        # mask rows beyond the region's live count (scatter overshoot garbage
-        # and region padding): logical e = sublane + lane*sub
-        s = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
-        e = s + lane * sub
-        live = e < tot_ref[0]
-        k = jnp.where(live, k, KEY_PAD_INT)
+        k = k_ref[:]
+        p = p_ref[:]
+        # keep only rows whose bucket is this region's id: row-granular
+        # segment copies deliberately include up to one row of neighbour
+        # buckets on each side, and scatter-overshoot garbage never shares
+        # the region's bucket (it copies strictly-later rows of the sorted
+        # source block); region padding keys (KEY_PAD) bucket to F.
+        scale = scale_ref[0]
+        bb = jnp.minimum(
+            ((k >> 1).astype(jnp.float32) * scale).astype(jnp.int32), F - 1
+        )
+        bb = jnp.maximum(bb, 0)
+        mine = (bb == i) & (k != KEY_PAD_INT)
+        k = jnp.where(mine, k, KEY_PAD_INT)
+        k = _rm_to_cm(k, sub)
+        p = _rm_to_cm(p, sub)
         k, p = bitonic_sort_pairs(k, p, sub)
         # forward max-scan of the last build row (packed keys: build rows are
         # even).  Candidate init: build rows propose themselves, others -1.
@@ -96,37 +103,42 @@ def _make_region_join_kernel(sub: int):
         # probe rows: packed key = build packed key + 1
         match = ((k & 1) == 1) & (~is_pad) & (ck == k - 1)
         m_ref[0, 0] += jnp.sum(match, dtype=jnp.int32)
-        contrib = jnp.where(
-            match, cp.astype(jnp.uint32) + p.astype(jnp.uint32), jnp.uint32(0)
-        )
-        c_ref[0, 0] += jnp.sum(contrib, dtype=jnp.uint32)
+        # mod-2^32 checksum in int32 (two's-complement wrap; Mosaic has no
+        # unsigned reductions) — bitcast to uint32 by the caller
+        contrib = jnp.where(match, cp + p, 0)
+        c_ref[0, 0] += jnp.sum(contrib, dtype=jnp.int32)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
-def region_join(layout_k, layout_p, tot, sub: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("sub", "F", "interpret"))
+def region_join(layout_k, layout_p, scale, sub: int, F: int,
+                interpret: bool = False):
     block = sub * LANES
     nregions = layout_k.shape[0] // block
-    m, c = pl.pallas_call(
-        _make_region_join_kernel(sub),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nregions,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((sub, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((sub, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((sub, LANES), lambda i, t: (i, 0)),
+            pl.BlockSpec((sub, LANES), lambda i, t: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
+    )
+    m, c = pl.pallas_call(
+        _make_region_join_kernel(sub, F),
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(tot.reshape(-1, 1), layout_k.reshape(-1, LANES), layout_p.reshape(-1, LANES))
-    return m[0, 0], c[0, 0]
+    )(scale.reshape(1), layout_k.reshape(-1, LANES),
+      layout_p.reshape(-1, LANES))
+    return m[0, 0], c[0, 0].astype(jnp.uint32)
 
 
 def _pad_to(x, mult, fill):
@@ -167,15 +179,17 @@ def rho_join_count_tier2(rk, rp, sk, sp, sub1: int = 2048, sub2: int = 2048,
     sorted_k, sorted_p, starts = sort_and_hist(
         packed, pay, scale, F, sub1, interpret=interpret
     )
-    hist = starts[:, 1:] - starts[:, :-1]  # (nb, F+1) diffs → take first F
-    hist = hist[:, :F]
-    tot = jnp.sum(hist, axis=0)  # (F,) rows per region
+    # row-granular copied segment sizes (elements): seg rows =
+    # [max(r_f - 1, 0), r_{f+1})
+    r0 = jnp.maximum(starts[:, :F] - 1, 0)
+    r1 = starts[:, 1:]
+    seg = jnp.maximum(r1 - r0, 0) * 128  # (nb, F)
+    tot = jnp.sum(seg, axis=0)  # copied elements per region
     overflow = jnp.sum(
         jnp.maximum(tot - (block2 - GRAN), 0), dtype=jnp.int32
     )
     region_base = jnp.arange(F, dtype=jnp.int32) * block2
-    # dst[b, f] = region_base[f] + Σ_{b'<b} hist[b', f]
-    prior = jnp.cumsum(hist, axis=0) - hist
+    prior = jnp.cumsum(seg, axis=0) - seg
     dst = region_base[None, :] + prior
     out_rows = F * block2 + GRAN  # + final slack
     src_k = jnp.concatenate([sorted_k, jnp.full((GRAN,), KEY_PAD_INT, jnp.int32)])
@@ -184,7 +198,7 @@ def rho_join_count_tier2(rk, rp, sk, sp, sub1: int = 2048, sub2: int = 2048,
         src_k, src_p, starts, dst, F, block1, out_rows, interpret=interpret
     )
     m, c = region_join(
-        lay_k[: F * block2], lay_p[: F * block2],
-        jnp.minimum(tot, block2), sub2, interpret=interpret,
+        lay_k[: F * block2], lay_p[: F * block2], scale, sub2, F,
+        interpret=interpret,
     )
     return m, c, overflow
