@@ -1,6 +1,7 @@
 import sys; sys.path.insert(0, "/root/repo")
 """Tier-2 pipeline on real TPU: correctness then headline timing."""
-import time
+import os, time
+SUB1 = int(os.environ.get("SUB1", "512")); SUB2 = int(os.environ.get("SUB2", "512"))
 import jax, jax.numpy as jnp
 import numpy as np
 from aqp_tpu.ops.pallas.radix_pipeline import rho_join_count_tier2
@@ -23,7 +24,7 @@ nr, ns = 1 << 14, 1 << 16
 r = create_relation_pk(nr); s = create_relation_fk(ns, nr)
 t0 = time.perf_counter()
 m, c, ovf = rho_join_count_tier2(r.key, r.payload, s.key, s.payload,
-                                 sub1=2048, sub2=2048)
+                                 sub1=SUB1, sub2=SUB2)
 m, c, ovf = int(m), int(c), int(ovf)
 print(f"small: compile+run {time.perf_counter()-t0:.1f}s matches={m} ovf={ovf}",
       flush=True)
@@ -36,7 +37,7 @@ s = create_relation_fk(NS, NR, seed=22222)
 jax.block_until_ready((r.key, s.key))
 t0 = time.perf_counter()
 m, c, ovf = rho_join_count_tier2(r.key, r.payload, s.key, s.payload,
-                                 sub1=2048, sub2=2048)
+                                 sub1=SUB1, sub2=SUB2)
 m, ovf = int(m), int(ovf)
 print(f"headline: compile+first {time.perf_counter()-t0:.1f}s matches={m} ovf={ovf}",
       flush=True)
@@ -45,7 +46,7 @@ best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
     out = rho_join_count_tier2(r.key, r.payload, s.key, s.payload,
-                               sub1=2048, sub2=2048)
+                               sub1=SUB1, sub2=SUB2)
     mm = int(out[0])
     best = min(best, time.perf_counter() - t0)
 t = best - OH
