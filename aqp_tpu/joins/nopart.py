@@ -29,6 +29,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aqp_tpu.config import JoinConfig
 from aqp_tpu.joins.api import register
@@ -38,7 +39,7 @@ from aqp_tpu.ops import mergejoin
 from aqp_tpu.relation import Relation
 from aqp_tpu.utils.timing import PhaseTimer
 
-EMPTY = jnp.int32(2147483647)  # INT32_MAX — generated keys are < 2^31
+EMPTY = np.int32(2147483647)  # INT32_MAX — generated keys are < 2^31
 _MAX_BUILD_ROUNDS = 64
 
 

@@ -10,8 +10,9 @@ mixer so the engine is robust to adversarial key sets (npj hash is
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-GOLDEN32 = jnp.uint32(0x9E3779B1)
+GOLDEN32 = np.uint32(0x9E3779B1)
 
 
 def radix_bits(key, shift: int, bits: int):

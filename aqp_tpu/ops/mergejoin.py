@@ -28,11 +28,12 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Sentinel for "no R row seen yet" — all generated keys are >= 1
 # (generator.cpp dense sets {1..N}); TPC-H keys are >= 0, so tag rows instead
 # of relying on key values: validity is carried explicitly.
-_NEG = jnp.int32(-1)
+_NEG = np.int32(-1)
 
 
 class JoinCounts(NamedTuple):

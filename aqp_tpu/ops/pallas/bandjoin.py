@@ -26,12 +26,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SBLK = 512      # S rows per grid step
 WIN = SBLK + 256  # R window rows per grid step (unique-R span bound + slack)
-RPAD_KEY = jnp.int32(2147483647)  # padding for R (never matches)
+RPAD_KEY = np.int32(2147483647)  # padding for R (never matches)
 
 
 def _kernel(starts_ref, sk_ref, sp_ref, rk_ref, rp_ref,

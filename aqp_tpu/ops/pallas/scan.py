@@ -1,0 +1,111 @@
+"""Pallas column-scan kernels — bandwidth-bound analogs of the SIMD512
+AVX-512 scan family (SIMD512.cpp:7-675).
+
+The XLA versions in ops/scan.py are correct everywhere; these kernels are
+the TPU speed-of-light path for the hot modes (count / sum / bitvector) on
+8-bit packed columns: one streaming pass over HBM, per-block partials
+reduced outside (overflow-safe), scalars prefetched to SMEM.  uint8 native
+tiling is (32, 128); blocks of (sub, 128) uint8 rows move 128·sub bytes per
+grid step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 4096  # 512 KiB uint8 per block
+
+
+def _mask(x_ref, lo_hi_ref):
+    x = x_ref[:].astype(jnp.int32)
+    return x, (x >= lo_hi_ref[0]) & (x <= lo_hi_ref[1])
+
+
+def _count_kernel(lo_hi_ref, x_ref, part_ref):
+    _, m = _mask(x_ref, lo_hi_ref)
+    part_ref[0, 0] = jnp.sum(m.astype(jnp.int32), dtype=jnp.int32)
+
+
+def _sum_kernel(lo_hi_ref, x_ref, part_ref):
+    x, m = _mask(x_ref, lo_hi_ref)
+    part_ref[0, 0] = jnp.sum(jnp.where(m, x, 0), dtype=jnp.int32)
+
+
+def _bitvector_kernel(lo_hi_ref, x_ref, bv_ref):
+    """Byte j of the output covers flat rows 8j..8j+7 (bit i = row 8j+i),
+    matching the sequential kmask-store layout of SIMD512::bitvector_scan.
+    Flat order of a (sub, 128) tile is row-major, so the 8-bit groups are
+    lane groups: packed via an MXU matmul with a constant (128, 16) weight
+    matrix W[l, g] = (l//8 == g) << (l % 8)."""
+    _, m = _mask(x_ref, lo_hi_ref)
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANES, 16), 0)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (LANES, 16), 1)
+    w = jnp.where(li // 8 == gi, 1 << (li % 8), 0).astype(jnp.float32)
+    packed = jax.lax.dot(m.astype(jnp.float32), w)  # (sub, 16), exact < 256
+    bv_ref[:] = packed.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _grid(n, sub):
+    assert n % (sub * LANES) == 0, (n, sub * LANES)
+    return n // (sub * LANES)
+
+
+def _run_partials(kernel, col, low, high, sub, interpret):
+    nb = _grid(col.shape[0], sub)
+    lo_hi = jnp.stack(
+        [jnp.asarray(low, jnp.int32), jnp.asarray(high, jnp.int32)]
+    )
+    parts = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((sub, LANES), lambda i, s: (i, 0))],
+            out_specs=[pl.BlockSpec((1, 1), lambda i, s: (i, 0))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((nb, 1), jnp.int32)],
+        interpret=interpret,
+    )(lo_hi, col.reshape(-1, LANES))
+    return parts[0]
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
+def scan_count_pallas(col, low, high, sub: int = SUB, interpret: bool = False):
+    """SIMD512::count — number of rows with low <= col <= high."""
+    parts = _run_partials(_count_kernel, col, low, high, sub, interpret)
+    return jnp.sum(parts.astype(jnp.int64))
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
+def scan_sum_pallas(col, low, high, sub: int = SUB, interpret: bool = False):
+    """SIMD512::sum — sum of qualifying values (exact in int64)."""
+    parts = _run_partials(_sum_kernel, col, low, high, sub, interpret)
+    return jnp.sum(parts.astype(jnp.int64))
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
+def scan_bitvector_pallas(col, low, high, sub: int = SUB,
+                          interpret: bool = False):
+    """SIMD512::bitvector_scan — packed 1 bit/row mask (flat byte order)."""
+    nb = _grid(col.shape[0], sub)
+    lo_hi = jnp.stack(
+        [jnp.asarray(low, jnp.int32), jnp.asarray(high, jnp.int32)]
+    )
+    bv = pl.pallas_call(
+        _bitvector_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((sub, LANES), lambda i, s: (i, 0))],
+            out_specs=[pl.BlockSpec((sub, 16), lambda i, s: (i, 0))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((nb * sub, 16), jnp.uint8)],
+        interpret=interpret,
+    )(lo_hi, col.reshape(-1, LANES))
+    return bv[0].reshape(-1)

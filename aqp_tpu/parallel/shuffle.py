@@ -22,11 +22,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aqp_tpu.ops.hashing import partition_hash
 
-PAD_R = jnp.int32(-1)
-PAD_S = jnp.int32(-2)
+PAD_R = np.int32(-1)
+PAD_S = np.int32(-2)
 
 
 def _pack_send_buffers(key, payload, n_dest: int, capacity: int, pad_key, salt: int):

@@ -16,11 +16,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aqp_tpu.queries import tables as T
 
-PAD_R_SIDE = jnp.int32(-3)   # build-side pads
-PAD_S_SIDE = jnp.int32(-4)   # probe-side pads (distinct: pads must never join)
+PAD_R_SIDE = np.int32(-3)   # build-side pads
+PAD_S_SIDE = np.int32(-4)   # probe-side pads (distinct: pads must never join)
 
 
 def _compact_kp(mask, key, payload, pad_key=PAD_S_SIDE):

@@ -24,6 +24,32 @@ from typing import Dict, Optional
 
 import jax
 
+def hard_sync(x):
+    """Force device completion: block_until_ready + a 1-element host fetch.
+
+    On the tunneled axon platform `block_until_ready` alone has been
+    observed not to block (bench.py methodology note); fetching one element
+    to the host is the reliable barrier.  Returns x unchanged.
+    """
+    jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            leaf.ravel()[0].item()
+            break
+    return x
+
+
+def ensure_platform_from_env():
+    """Honor JAX_PLATFORMS=cpu even where sitecustomize pre-registers the
+    TPU plugin and overrides the env (used by experiment drivers so the
+    same script runs on CPU for correctness and on TPU for numbers)."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+
 PHASE_KEYS = (
     "total",
     "partition",
