@@ -38,8 +38,16 @@ def _partner_sub(x, j, sub):
     return jnp.where(take_plus, r_plus, r_minus)
 
 
-def _partner_lane(x, jl):
-    """Value at lane XOR jl (jl < LANES)."""
+def _partner_lane(x, jl, use_gather=True):
+    """Value at lane XOR jl (jl < LANES).
+
+    On TPU this is a single in-vreg dynamic lane gather (tpu.dynamic_gather),
+    measured ~3x cheaper than the two-roll+select formulation
+    (notes/probe_rowsort.py).  Interpret mode (CPU tests) keeps the roll
+    form — XLA CPU compiles per-stage gathers pathologically slowly."""
+    if use_gather:
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.take_along_axis(x, lane ^ jl, axis=1)
     r_minus = pltpu.roll(x, jl, axis=1)
     r_plus = pltpu.roll(x, LANES - jl, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -47,7 +55,7 @@ def _partner_lane(x, jl):
     return jnp.where(take_plus, r_plus, r_minus)
 
 
-def _stage(k, p, j, box, sub):
+def _stage(k, p, j, box, sub, use_gather=True):
     """One bitonic compare-exchange at XOR-distance j; direction from `box`
     (ascending iff (e & box) == 0, element index e column-major)."""
     if j < sub:
@@ -57,8 +65,8 @@ def _stage(k, p, j, box, sub):
         upper = (field & j) != 0
     else:
         jl = j // sub
-        pk = _partner_lane(k, jl)
-        pp = _partner_lane(p, jl)
+        pk = _partner_lane(k, jl, use_gather)
+        pp = _partner_lane(p, jl, use_gather)
         field = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
         upper = (field & jl) != 0
     if box < sub:
@@ -79,22 +87,22 @@ def _stage(k, p, j, box, sub):
     return k2, p2
 
 
-def bitonic_sort_pairs(k, p, sub):
+def bitonic_sort_pairs(k, p, sub, use_gather=True):
     """Full bitonic sort of one (sub, 128) column-major block in registers."""
     block = sub * LANES
     box = 2
     while box <= block:
         j = box // 2
         while j >= 1:
-            k, p = _stage(k, p, j, box, sub)
+            k, p = _stage(k, p, j, box, sub, use_gather)
             j //= 2
         box *= 2
     return k, p
 
 
-def _sort_kernel(sub):
+def _sort_kernel(sub, use_gather=True):
     def kernel(k_ref, p_ref, ok_ref, op_ref):
-        k, p = bitonic_sort_pairs(k_ref[:], p_ref[:], sub)
+        k, p = bitonic_sort_pairs(k_ref[:], p_ref[:], sub, use_gather)
         ok_ref[:] = k
         op_ref[:] = p
 
@@ -123,7 +131,7 @@ def sort_blocks(key, payload, sub: int = SUB, interpret: bool = False):
     k2 = to_colmajor(key, nb, sub)
     p2 = to_colmajor(payload, nb, sub)
     ok, op = pl.pallas_call(
-        _sort_kernel(sub),
+        _sort_kernel(sub, use_gather=not interpret),
         grid=(nb,),
         in_specs=[pl.BlockSpec((sub, LANES), lambda i: (i, 0))] * 2,
         out_specs=[pl.BlockSpec((sub, LANES), lambda i: (i, 0))] * 2,

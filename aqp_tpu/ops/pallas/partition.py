@@ -90,11 +90,11 @@ def _rm_to_cm(x, sub):
     return jnp.concatenate(parts, axis=0)
 
 
-def _make_sort_hist_kernel(F: int, sub: int):
+def _make_sort_hist_kernel(F: int, sub: int, use_gather: bool = True):
     block = sub * LANES
 
     def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, starts_ref):
-        k, p = bitonic_sort_pairs(k_ref[:], p_ref[:], sub)
+        k, p = bitonic_sort_pairs(k_ref[:], p_ref[:], sub, use_gather)
         ok_ref[:] = _cm_to_rm(k, sub)
         op_ref[:] = _cm_to_rm(p, sub)
         scale = scale_ref[0]
@@ -163,7 +163,7 @@ def sort_and_hist(key, payload, scale, F: int, sub: int, interpret: bool = False
     )
     nb8 = -(-nb // 8) * 8
     ok, op, starts = pl.pallas_call(
-        _make_sort_hist_kernel(F, sub),
+        _make_sort_hist_kernel(F, sub, use_gather=not interpret),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb * sub, LANES), jnp.int32),

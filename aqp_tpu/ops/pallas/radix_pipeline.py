@@ -56,7 +56,7 @@ def _ff_boundary_invalid(shape, d, sub):
     return lane < (d // sub)
 
 
-def _make_region_join_kernel(sub: int, F: int):
+def _make_region_join_kernel(sub: int, F: int, use_gather: bool = True):
     block = sub * LANES
 
     def kernel(scale_ref, k_ref, p_ref, m_ref, c_ref):
@@ -83,7 +83,7 @@ def _make_region_join_kernel(sub: int, F: int):
         k = jnp.where(mine, k, KEY_PAD_INT)
         k = _rm_to_cm(k, sub)
         p = _rm_to_cm(p, sub)
-        k, p = bitonic_sort_pairs(k, p, sub)
+        k, p = bitonic_sort_pairs(k, p, sub, use_gather)
         # forward max-scan of the last build row (packed keys: build rows are
         # even).  Candidate init: build rows propose themselves, others -1.
         is_r = (k & 1) == 0
@@ -129,7 +129,7 @@ def region_join(layout_k, layout_p, scale, sub: int, F: int,
         ],
     )
     m, c = pl.pallas_call(
-        _make_region_join_kernel(sub, F),
+        _make_region_join_kernel(sub, F, use_gather=not interpret),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.int32),

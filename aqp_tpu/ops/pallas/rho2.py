@@ -87,7 +87,8 @@ def _cm_to_rm(x, sub):
 # ---------------------------------------------------------------------------
 # K-A: block sort + vectorized bucket starts
 
-def _make_sort_hist_kernel(sub: int, F: int, c1_blocks: int, f2: int):
+def _make_sort_hist_kernel(sub: int, F: int, c1_blocks: int, f2: int,
+                           use_gather: bool = True):
     """c1_blocks == 0: pass-1 (bucket = key-range bucket, fanout F).
     c1_blocks > 0: pass-2 (local bucket = global bucket - region base,
     clamped to [0, f2-1]); region index r1 = block_index // c1_blocks."""
@@ -95,7 +96,7 @@ def _make_sort_hist_kernel(sub: int, F: int, c1_blocks: int, f2: int):
     def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, starts_ref):
         k = _rm_to_cm(k_ref[:], sub)
         p = _rm_to_cm(p_ref[:], sub)
-        k, p = bitonic_sort_pairs(k, p, sub)
+        k, p = bitonic_sort_pairs(k, p, sub, use_gather)
         k = _cm_to_rm(k, sub)
         p = _cm_to_rm(p, sub)
         ok_ref[:] = k
@@ -109,10 +110,20 @@ def _make_sort_hist_kernel(sub: int, F: int, c1_blocks: int, f2: int):
             gmax - 1,
         )
         g = jnp.maximum(g, 0)
-        if c1_blocks:
-            r1 = pl.program_id(0) // c1_blocks
-            g = jnp.clip(g - r1 * f2, 0, f2 - 1)
         nb_f = F if not c1_blocks else f2
+        if c1_blocks:
+            # Local bucket within this level-1 region.  Rows whose global
+            # bucket falls outside the region are STRAYS: duplicated copies
+            # from the 1-row overlap of level-1 segments (every element's
+            # home segment also covers it), so they are dropped, not
+            # clamped — clamping was measured to overload the edge fine
+            # buckets by ~250 rows (notes/probe_rho2_loads.py).  Low strays
+            # map to bucket -1 (they sort FIRST by key, keeping the
+            # bucket sequence monotone for the starts computation); high
+            # strays map to nb_f alongside the padding.
+            r1 = pl.program_id(0) // c1_blocks
+            gl = g - r1 * f2
+            g = jnp.where(gl < 0, -1, jnp.where(gl >= f2, nb_f, gl))
         b = jnp.where(lead == KEY_PAD_INT, nb_f, g)  # (sub,1)
         # starts[f] = first row with bucket >= f, vectorized; padded to an
         # (8, 128) tile (lanes > nb_f are garbage, sliced off by the glue)
@@ -150,7 +161,7 @@ def sort_hist(key, payload, scale, sub: int, F: int, c1_blocks: int = 0,
         ],
     )
     ks, ps, starts = pl.pallas_call(
-        _make_sort_hist_kernel(sub, F, c1_blocks, f2),
+        _make_sort_hist_kernel(sub, F, c1_blocks, f2, use_gather=not interpret),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb * sub, LANES), jnp.int32),
@@ -329,7 +340,7 @@ def _ff_invalid(shape, d, sub):
     return lane < (d // sub)
 
 
-def _make_region_join_kernel(sub: int, gmax: int):
+def _make_region_join_kernel(sub: int, gmax: int, use_gather: bool = True):
     block = sub * LANES
 
     def kernel(scale_ref, k_ref, p_ref, m_ref, c_ref):
@@ -351,7 +362,7 @@ def _make_region_join_kernel(sub: int, gmax: int):
         k = jnp.where(mine, k, KEY_PAD_INT)
         k = _rm_to_cm(k, sub)
         p = _rm_to_cm(p, sub)
-        k, p = bitonic_sort_pairs(k, p, sub)
+        k, p = bitonic_sort_pairs(k, p, sub, use_gather)
         # forward max-scan of the last build row (packed keys: R rows even)
         is_r = (k & 1) == 0
         is_pad = k == KEY_PAD_INT
@@ -390,7 +401,7 @@ def region_join(lay_k, lay_p, scale, sub: int, gmax: int,
         ],
     )
     m, c = pl.pallas_call(
-        _make_region_join_kernel(sub, gmax),
+        _make_region_join_kernel(sub, gmax, use_gather=not interpret),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -453,10 +464,10 @@ def _pad_to(x, mult, fill):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sub", "F1", "F2", "fill1", "interpret"),
+    static_argnames=("sub", "F1", "F2", "fill1", "fill2", "interpret"),
 )
-def rho_join_count_v2(rk, rp, sk, sp, sub: int = 2048, F1: int = 16,
-                      F2: int = 0, fill1: float = 0.85,
+def rho_join_count_v2(rk, rp, sk, sp, sub: int = 1024, F1: int = 32,
+                      F2: int = 0, fill1: float = 0.92, fill2: float = 0.88,
                       interpret: bool = False):
     """Fused two-level Pallas RHO count join.
 
@@ -479,8 +490,10 @@ def rho_join_count_v2(rk, rp, sk, sp, sub: int = 2048, F1: int = 16,
         # final region = one K-D block of `sub` rows; a segment's row span
         # exceeds its exact element span by up to TWO rows (mid-row start
         # backoff + shared mid-row end), per contributing block — budget
-        # 2*c1_blocks overlap rows plus a 3% margin
-        avail = int(0.97 * sub) - 2 * c1_blocks_est
+        # 2*c1_blocks overlap rows, then a fill2 slack factor against the
+        # data-dependent variance of fine-bucket loads (range partition of
+        # non-uniform keys): mean_load/fill2 + overlap must fit in sub.
+        avail = int((sub - 2 * c1_blocks_est) * fill2)
         if avail < 8:
             raise ValueError(f"sub={sub} too small for F1={F1} at n={n}")
         F2 = max(1, -(-int(rows_total / F1) // avail))
