@@ -90,6 +90,35 @@ def cmd_tpch(args):
         n = L.load_nation(args.data)
     else:
         l, o, c, p, n = generate_tpch_tables(scale=args.scale)
+    if args.fused:
+        import time
+
+        from aqp_tpu.queries import fused as FU
+        from aqp_tpu.utils.timing import Timings
+
+        fused_plans = {
+            3: (lambda: FU.tpch_q3_fused(c, o, l),
+                c.num_tuples + o.num_tuples + l.num_tuples),
+            10: (lambda: FU.tpch_q10_fused(c, o, l, n),
+                 c.num_tuples + o.num_tuples + l.num_tuples + n.num_tuples),
+            12: (lambda: FU.tpch_q12_fused(l, o),
+                 l.num_tuples + o.num_tuples),
+            19: (lambda: FU.tpch_q19_fused(l, p),
+                 l.num_tuples + p.num_tuples),
+        }
+        fn, rows_in = fused_plans[args.q]
+        m, ok = fn()  # compile + correctness
+        assert bool(ok), "fused capacity bound exceeded; rerun without --fused"
+        best = 1e30
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            m, ok = fn()
+            int(m)
+            best = min(best, time.perf_counter() - t0)
+        t = Timings(phases={"total": best}, rows_in=rows_in, matches=int(m))
+        t.print_contract()
+        print(t.json_line(query=f"Q{args.q}", alg="fused", scale=args.scale))
+        return
     plans = {
         3: lambda: tpch_q3(c, o, l, algorithm=args.a),
         10: lambda: tpch_q10(c, o, l, n, algorithm=args.a),
@@ -191,6 +220,8 @@ def main(argv=None):
     t.add_argument("--scale", type=float, default=0.1)
     t.add_argument("--data", default=None, help="binary column dir (scale###)")
     t.add_argument("--reps", type=int, default=3)
+    t.add_argument("--fused", action="store_true",
+                   help="single-program fused plan (serving path)")
     t.set_defaults(fn=cmd_tpch)
 
     s = sub.add_parser("scan", help="column-scan microbenchmark (SimdScanMulti analog)")

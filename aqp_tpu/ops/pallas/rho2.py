@@ -62,6 +62,16 @@ from aqp_tpu.ops.pallas.blocksort import (
 
 _Q = 8  # DMA ring depth
 
+# Pre-pack pad keys for caller-padded inputs (bounded-capacity filter
+# outputs, queries/fused.py).  Distinct per side so the XLA union-sort core
+# can consume the same buffers (equal R/S pad keys would join each other):
+#   R pad 2^30-2 packs to 2^31-4 (tag 0), S pad 2^30-1 packs to 2^31-1;
+# everything >= PACKED_PAD_MIN sorts last and is dropped by every kernel.
+# Real keys must stay < PAD_R_INPUT (< 2^30 - 2).
+PAD_R_INPUT = (1 << 30) - 2
+PAD_S_INPUT = (1 << 30) - 1
+PACKED_PAD_MIN = 2147483644  # == PAD_R_INPUT << 1
+
 
 # ---------------------------------------------------------------------------
 # corner turns (VMEM, static transposes)
@@ -124,7 +134,7 @@ def _make_sort_hist_kernel(sub: int, F: int, c1_blocks: int, f2: int,
             r1 = pl.program_id(0) // c1_blocks
             gl = g - r1 * f2
             g = jnp.where(gl < 0, -1, jnp.where(gl >= f2, nb_f, gl))
-        b = jnp.where(lead == KEY_PAD_INT, nb_f, g)  # (sub,1)
+        b = jnp.where(lead >= PACKED_PAD_MIN, nb_f, g)  # (sub,1)
         # starts[f] = first row with bucket >= f, vectorized; padded to an
         # (8, 128) tile (lanes > nb_f are garbage, sliced off by the glue)
         fio = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -241,7 +251,8 @@ def _make_scatter_kernel(chunk: int):
     return kernel
 
 
-def _scatter_reference(ks, ps, soff, doff, sz, out_rows: int):
+def _scatter_reference(ks, ps, soff, doff, sz, out_rows: int,
+                       fill_key: int = KEY_PAD_INT):
     """Pure-XLA equivalent of `scatter_segments` (interpret mode — Pallas
     interpret cannot trace dynamic-size DMAs — and correctness oracle).
     Gather formulation: output row j covered by segment i
@@ -259,14 +270,15 @@ def _scatter_reference(ks, ps, soff, doff, sz, out_rows: int):
     j = jnp.arange(out_rows, dtype=jnp.int32)
     inside = (marks | ((j - f_doff) < f_sz)) & (f_sz > 0)
     src = jnp.clip(f_soff + (j - f_doff), 0, ks.shape[0] - 1)
-    ok = jnp.where(inside[:, None], ks[src], KEY_PAD_INT)
+    ok = jnp.where(inside[:, None], ks[src], fill_key)
     op = jnp.where(inside[:, None], ps[src], 0)
     return ok, op
 
 
-@functools.partial(jax.jit, static_argnames=("nseg", "out_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nseg", "out_rows", "fill_key",
+                                              "interpret"))
 def scatter_segments(ks, ps, soff, doff, sz, nseg: int, out_rows: int,
-                     interpret: bool = False):
+                     fill_key: int = KEY_PAD_INT, interpret: bool = False):
     """Copy `nseg` row segments of (ks, ps) to destination cursors.
 
     The last output row is a trash row: empty segments become 1-row
@@ -275,7 +287,7 @@ def scatter_segments(ks, ps, soff, doff, sz, nseg: int, out_rows: int,
     row.  Unwritten key rows stay KEY_PAD.
     """
     if interpret:
-        return _scatter_reference(ks, ps, soff, doff, sz, out_rows)
+        return _scatter_reference(ks, ps, soff, doff, sz, out_rows, fill_key)
     trash = jnp.int32(out_rows - 1)
     empty = sz == 0
     soff = jnp.where(empty, 0, soff)
@@ -295,7 +307,7 @@ def scatter_segments(ks, ps, soff, doff, sz, nseg: int, out_rows: int,
          sz.reshape(nchunks, _CHUNK), jnp.zeros((nchunks, _CHUNK), jnp.int32)],
         axis=1,
     )  # (nchunks, 4, _CHUNK): 4th row pads to the (4,*) int32 slice tiling
-    ok0 = jnp.full((out_rows, LANES), KEY_PAD_INT, jnp.int32)
+    ok0 = jnp.full((out_rows, LANES), fill_key, jnp.int32)
     op0 = jnp.zeros((out_rows, LANES), jnp.int32)
     # dynamic-size memref slices only lower on untiled (HBM) refs — pin
     # explicitly so small arrays are not promoted into VMEM
@@ -358,14 +370,14 @@ def _make_region_join_kernel(sub: int, gmax: int, use_gather: bool = True):
             ((k >> 1).astype(jnp.float32) * scale).astype(jnp.int32), gmax - 1
         )
         g = jnp.maximum(g, 0)
-        mine = (g == j) & (k != KEY_PAD_INT)
+        mine = (g == j) & (k < PACKED_PAD_MIN)
         k = jnp.where(mine, k, KEY_PAD_INT)
         k = _rm_to_cm(k, sub)
         p = _rm_to_cm(p, sub)
         k, p = bitonic_sort_pairs(k, p, sub, use_gather)
         # forward max-scan of the last build row (packed keys: R rows even)
         is_r = (k & 1) == 0
-        is_pad = k == KEY_PAD_INT
+        is_pad = k >= PACKED_PAD_MIN
         ck = jnp.where(is_r & (~is_pad), k, -1)
         cp = jnp.where(is_r & (~is_pad), p, 0)
         d = 1
@@ -455,6 +467,40 @@ def _plan2(starts, c1_blocks, f2, cap_rows):
     return babs, r0, doff, sz, overflow
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cap_rows", "sub", "pad_key", "interpret")
+)
+def compact_kp(key, payload, cap_rows: int, sub: int = 1024,
+               pad_key: int = PAD_S_INPUT, interpret: bool = False):
+    """Row-granular Pallas compaction of a masked (key, payload) column pair.
+
+    Input: full-size columns where invalid rows carry key >= PAD_R_INPUT
+    (callers remap their predicate mask to PAD_R_INPUT/PAD_S_INPUT).  Output:
+    (key[cap_rows*128], payload, overflow) with all valid elements present,
+    pad elements only at block-boundary rows, empty slots keyed `pad_key`.
+
+    This replaces the XLA sort-based filter compaction (filters.hpp:29-44
+    analog) on TPU: one Pallas block sort (pads sort last per block) + one
+    row-granular DMA per block — measured ~9x the XLA 3-array sort at 60M
+    rows.  overflow > 0 means cap_rows was too small (count the mask first
+    or fall back).
+    """
+    block = sub * LANES
+    packed = _pad_to((key << 1) | 1, block, KEY_PAD_INT)
+    pay = _pad_to(payload, block, 0)
+    nb = packed.shape[0] // block
+    # F=1: every non-pad row buckets to 0 (g is clamped to gmax-1 == 0)
+    zero = jnp.zeros((), jnp.float32)
+    ks, ps, starts = sort_hist(packed, pay, zero, sub, 1, interpret=interpret)
+    soff, doff, sz, ovf = _plan(nb, sub, starts, 1, cap_rows)
+    fill = (pad_key << 1) | 1
+    ok, op = scatter_segments(ks, ps, soff, doff, sz, nb, cap_rows + 1,
+                              fill_key=fill, interpret=interpret)
+    out_k = (ok[:cap_rows].reshape(-1) >> 1).astype(jnp.int32)
+    out_p = op[:cap_rows].reshape(-1)
+    return out_k, out_p, ovf
+
+
 def _pad_to(x, mult, fill):
     pad = (-x.shape[0]) % mult
     if pad:
@@ -464,15 +510,22 @@ def _pad_to(x, mult, fill):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sub", "F1", "F2", "fill1", "fill2", "interpret"),
+    static_argnames=("sub", "F1", "F2", "fill1", "fill2", "max_elems",
+                     "interpret"),
 )
 def rho_join_count_v2(rk, rp, sk, sp, sub: int = 1024, F1: int = 32,
                       F2: int = 0, fill1: float = 0.92, fill2: float = 0.88,
-                      interpret: bool = False):
+                      max_elems: int = 0, interpret: bool = False):
     """Fused two-level Pallas RHO count join.
 
     Returns (matches, checksum, overflow).  overflow > 0 => result invalid
     (region overflow under skew); callers fall back to the XLA core.
+
+    max_elems: upper bound on NON-PAD input elements (keys < PAD_INPUT_KEY).
+    Callers feeding pre-padded bounded buffers (queries/fused.py) pass their
+    capacity sum so levels 1/2 are sized for the real data, not the buffer —
+    pads are dropped after the pass-1 sort.  A wrong bound is caught by the
+    overflow counter (never a silent wrong answer).
     """
     block = sub * LANES
     packed = jnp.concatenate([rk << 1, (sk << 1) | 1])
@@ -482,9 +535,16 @@ def rho_join_count_v2(rk, rp, sk, sp, sub: int = 1024, F1: int = 32,
     n = packed.shape[0]
     nb = n // block
     rows_total = n // LANES
+    # data rows for capacity planning: pads sort last per block and are
+    # dropped by the glue, so only real elements land in level 1 — but each
+    # (block, bucket) segment still pays its <=2 boundary overlap rows.
+    if max_elems:
+        data_rows = min(rows_total, -(-max_elems // LANES) + 2 * nb)
+    else:
+        data_rows = rows_total
     # level-1 capacity (rows, multiple of sub): exact + one overlap row per
-    # contributing block per bucket, 15% slack via fill1
-    c1_rows_est = -(-int(rows_total / F1 / fill1) // sub) * sub
+    # contributing block per bucket, slack via fill1
+    c1_rows_est = -(-int(data_rows / F1 / fill1) // sub) * sub
     c1_blocks_est = c1_rows_est // sub
     if F2 == 0:
         # final region = one K-D block of `sub` rows; a segment's row span
@@ -496,12 +556,12 @@ def rho_join_count_v2(rk, rp, sk, sp, sub: int = 1024, F1: int = 32,
         avail = int((sub - 2 * c1_blocks_est) * fill2)
         if avail < 8:
             raise ValueError(f"sub={sub} too small for F1={F1} at n={n}")
-        F2 = max(1, -(-int(rows_total / F1) // avail))
+        F2 = max(1, -(-int(data_rows / F1) // avail))
     if F2 + 1 > LANES:
         raise ValueError(f"F2={F2} exceeds starts-lane limit; raise sub or F1")
     gmax = F1 * F2
     maxk = jnp.max(packed >> 1, initial=jnp.int32(0),
-                   where=packed != KEY_PAD_INT)
+                   where=packed < PACKED_PAD_MIN)
     scale1 = (jnp.float32(F1) / (maxk.astype(jnp.float32) + 1.0)) * (
         jnp.float32(1.0 - 1e-6))
     scaleg = (jnp.float32(gmax) / (maxk.astype(jnp.float32) + 1.0)) * (

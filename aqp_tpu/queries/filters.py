@@ -40,45 +40,60 @@ def _compact_kp(mask, key, payload, pad_key=PAD_S_SIDE):
 
 # --- Q3 (Q3Predicates.hpp:26-54) ---
 
+def q3_mask_customer(c: T.CustomerTable):
+    return c.mktsegment == T.MKT_BUILDING, c.key, c.rowid
+
+
 @jax.jit
 def q3_filter_customer(c: T.CustomerTable):
-    mask = c.mktsegment == T.MKT_BUILDING
-    return _compact_kp(mask, c.key, c.rowid, PAD_R_SIDE)
+    return _compact_kp(*q3_mask_customer(c), PAD_R_SIDE)
+
+
+def q3_mask_orders(o: T.OrdersTable):
+    """out.key = o_custkey, out.payload = o_orderkey (the *key* field —
+    Q3Predicates.hpp:41-44)."""
+    return o.orderdate < T.TS_1995_03_15, o.custkey, o.key
 
 
 @jax.jit
 def q3_filter_orders(o: T.OrdersTable):
-    """out.key = o_custkey, out.payload = o_orderkey (the *key* field —
-    Q3Predicates.hpp:41-44)."""
-    mask = o.orderdate < T.TS_1995_03_15
-    return _compact_kp(mask, o.custkey, o.key)
+    return _compact_kp(*q3_mask_orders(o))
+
+
+def q3_mask_lineitem(l: T.LineItemTable):
+    return l.shipdate >= T.TS_1995_03_16, l.key, l.rowid
 
 
 @jax.jit
 def q3_filter_lineitem(l: T.LineItemTable):
-    mask = l.shipdate >= T.TS_1995_03_16
-    return _compact_kp(mask, l.key, l.rowid)
+    return _compact_kp(*q3_mask_lineitem(l))
 
 
 # --- Q10 (Q10Predicates.hpp:27-45) ---
 
-@jax.jit
-def q10_filter_orders(o: T.OrdersTable):
+def q10_mask_orders(o: T.OrdersTable):
     """out.key = o_custkey, out.payload = orders rowID."""
     mask = (o.orderdate >= T.TS_1993_10_01) & (o.orderdate < T.TS_1994_01_01)
-    return _compact_kp(mask, o.custkey, o.rowid)
+    return mask, o.custkey, o.rowid
+
+
+@jax.jit
+def q10_filter_orders(o: T.OrdersTable):
+    return _compact_kp(*q10_mask_orders(o))
+
+
+def q10_mask_lineitem(l: T.LineItemTable):
+    return l.returnflag == T.L_RETURNFLAG_R, l.key, l.rowid
 
 
 @jax.jit
 def q10_filter_lineitem(l: T.LineItemTable):
-    mask = l.returnflag == T.L_RETURNFLAG_R
-    return _compact_kp(mask, l.key, l.rowid)
+    return _compact_kp(*q10_mask_lineitem(l))
 
 
 # --- Q12 (Q12Predicates.hpp:23-32) ---
 
-@jax.jit
-def q12_filter_lineitem(l: T.LineItemTable):
+def q12_mask_lineitem(l: T.LineItemTable):
     mask = (
         ((l.shipmode == T.L_SHIPMODE_MAIL) | (l.shipmode == T.L_SHIPMODE_SHIP))
         & (l.commitdate < l.receiptdate)
@@ -86,13 +101,17 @@ def q12_filter_lineitem(l: T.LineItemTable):
         & (l.receiptdate >= T.TS_1994_01_01)
         & (l.receiptdate < T.TS_1995_01_01)
     )
-    return _compact_kp(mask, l.key, l.rowid)
+    return mask, l.key, l.rowid
+
+
+@jax.jit
+def q12_filter_lineitem(l: T.LineItemTable):
+    return _compact_kp(*q12_mask_lineitem(l))
 
 
 # --- Q19 (Q19Predicates.hpp:27-50 prefilters; :58-78 residual) ---
 
-@jax.jit
-def q19_filter_lineitem(l: T.LineItemTable):
+def q19_mask_lineitem(l: T.LineItemTable):
     """Relaxed prefilter; out.key = l_partkey, out.payload = lineitem rowID."""
     mask = (
         (l.quantity >= 1)
@@ -100,11 +119,15 @@ def q19_filter_lineitem(l: T.LineItemTable):
         & ((l.shipmode == T.L_SHIPMODE_AIR) | (l.shipmode == T.L_SHIPMODE_AIR_REG))
         & (l.shipinstruct == T.L_SHIPINSTRUCT_DELIVER_IN_PERSON)
     )
-    return _compact_kp(mask, l.partkey, l.rowid)
+    return mask, l.partkey, l.rowid
 
 
 @jax.jit
-def q19_filter_part(p: T.PartTable):
+def q19_filter_lineitem(l: T.LineItemTable):
+    return _compact_kp(*q19_mask_lineitem(l))
+
+
+def q19_mask_part(p: T.PartTable):
     mask = (
         ((p.brand == T.P_BRAND_12) | (p.brand == T.P_BRAND_23) | (p.brand == T.P_BRAND_34))
         & (p.container >= 1)
@@ -112,7 +135,12 @@ def q19_filter_part(p: T.PartTable):
         & (p.size >= 1)
         & (p.size <= 15)
     )
-    return _compact_kp(mask, p.key, p.rowid, PAD_R_SIDE)
+    return mask, p.key, p.rowid
+
+
+@jax.jit
+def q19_filter_part(p: T.PartTable):
+    return _compact_kp(*q19_mask_part(p), PAD_R_SIDE)
 
 
 @jax.jit
