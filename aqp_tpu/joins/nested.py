@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from aqp_tpu.config import JoinConfig
 from aqp_tpu.joins.api import register
-from aqp_tpu.joins.common import to_join_result
+from aqp_tpu.joins.common import result_capacity, to_join_result
 from aqp_tpu.ops import mergejoin
 from aqp_tpu.relation import Relation
 from aqp_tpu.utils.timing import PhaseTimer
@@ -67,14 +67,49 @@ def _nl_count(r_key, r_payload, s_key, s_payload):
     return mergejoin.JoinCounts(m, ck)
 
 
+@jax.jit
+def _nl_probe_all_pairs(r_key, r_payload, s_key):
+    """Per-S-row (multiplicity, R-payload sum) via the blocked all-pairs
+    scan — the materialize-side companion of _nl_count (the reference's NL
+    accumulates output rows in its inner loop, nested_loop_join.cpp:54-100).
+    Unique-R gives multiplicity <= 1, so rpay_sum IS the matched payload."""
+    nr = r_key.shape[0]
+    pr = (-nr) % _NL_TILE
+    rk = jnp.concatenate(
+        [r_key, jnp.full((pr,), -1, r_key.dtype)]).reshape(-1, _NL_TILE)
+    rp = jnp.concatenate(
+        [r_payload, jnp.zeros((pr,), r_payload.dtype)]).reshape(-1, _NL_TILE)
+
+    def r_tile(carry, ri):
+        rkt, rpt = ri
+        eq = s_key[:, None] == rkt[None, :]
+        mult = carry[0] + jnp.sum(eq, axis=1, dtype=jnp.int32)
+        rsum = carry[1] + jnp.sum(
+            jnp.where(eq, rpt[None, :], 0), axis=1, dtype=jnp.int32)
+        return (mult, rsum), None
+
+    (mult, rsum), _ = jax.lax.scan(
+        r_tile,
+        (jnp.zeros_like(s_key, jnp.int32), jnp.zeros_like(s_key, jnp.int32)),
+        (rk, rp))
+    return mult, rsum
+
+
 @register("NL")
 def NL(relR: Relation, relS: Relation, cfg: JoinConfig):
     pt = PhaseTimer()
     t0 = time.perf_counter()
-    out = pt.time_fn("join", _nl_count, relR.key, relR.payload, relS.key, relS.payload)
     if cfg.materialize:
-        # NL is a counting baseline in the reference too (no materialize path)
-        pass
+        mult, rsum = pt.time_fn(
+            "join", _nl_probe_all_pairs, relR.key, relR.payload, relS.key)
+        out = pt.time_fn(
+            "materialize", mergejoin.compact_matches,
+            mult > 0, relS.key, rsum, relS.payload,
+            capacity=result_capacity(relS, cfg))
+    else:
+        out = pt.time_fn(
+            "join", _nl_count,
+            relR.key, relR.payload, relS.key, relS.payload)
     pt.t.phases["total"] = time.perf_counter() - t0
     return to_join_result(out), pt.t
 

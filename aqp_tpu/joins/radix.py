@@ -1,4 +1,4 @@
-"""Radix-partitioned join engines: RHO, RHT, RSM equivalents.
+"""Radix-partitioned join engines: RHO, RHT, RSM.
 
 Reference: radix_join.cpp — RHO (join_init_run + prj_thread + bucket_chaining
 _join, :1369-1638/:359-458), RHT (histogram_join :476-612), RSM
@@ -7,17 +7,21 @@ radix partition (per-thread histograms → global prefix sums → scatter with
 software write-combining), then per-partition build/probe tasks from a
 work-stealing queue.
 
-TPU design: the partition pass is a stable reorder by radix bucket; the
-per-thread histogram + prefix-sum + scatter choreography collapses into one
-data-parallel primitive (ops/partition.py).  Per-partition tasks are not
-pulled from a queue — every partition is processed by the same SPMD program;
-skew is handled by structure (sort-based kernels are insensitive to bucket
-imbalance), not by stealing.  Tier-1 uses XLA sort as the reorder engine;
-Tier-2 swaps in the Pallas partition/band kernels (ops/pallas/).
+TPU designs — three genuinely distinct instruction streams:
 
-Radix planning mirrors calc_num_radix_bits/calc_num_passes
-(radix_join.cpp:295-345) with VMEM standing in for L2: partitions are sized
-so a partition of R fits the Tier-2 kernel's VMEM tile.
+  RHO  count path on TPU runs the Tier-2 fused Pallas pipeline
+       (ops/pallas/rho3.py): fixed-slot two-level radix partition on the
+       bitonic slot network + region propagate-join, with automatic
+       overflow/salt-retry fallback to the exact XLA core.  Honors
+       cfg.use_pallas; CPU and materialize runs use the XLA radix frame.
+  RHT  histogram join: radix passes, then per-partition *counting*
+       structure — R reordered by key (the reference's count→prefix→
+       reorder, radix_join.cpp:476-612), probe = vectorized binary search
+       returning the key's R run [lo, hi): multiplicity hi-lo, payload sum
+       via prefix-sum difference.  Exact for duplicate R keys.
+  RSM  per-partition sort-merge: both sides sorted (bucket bits are key
+       bits, so one sort finishes all partition-local orders at once) and
+       merge-joined by forward propagation (radix_sortmerge_join.cpp:82-137).
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ from aqp_tpu.joins.api import register
 from aqp_tpu.joins.common import result_capacity, to_join_result
 from aqp_tpu.ops import mergejoin
 from aqp_tpu.ops.hashing import radix_bits
-from aqp_tpu.relation import Relation
+from aqp_tpu.relation import Relation, JoinResult
 from aqp_tpu.utils.timing import PhaseTimer
 
 
@@ -69,12 +73,10 @@ def _partition_pass(key, payload, shift: int, bits: int):
 _partition_pass_jit = jax.jit(_partition_pass, static_argnames=("shift", "bits"))
 
 
-def _radix_frame(relR: Relation, relS: Relation, cfg: JoinConfig, flavor: str):
-    pt = PhaseTimer()
-    t0 = time.perf_counter()
+def _partition_phases(relR, relS, cfg, pt):
+    """Shared 1–2 pass radix partition front end; returns reordered cols."""
     bits, passes = plan_radix(relR.num_tuples, cfg)
     per_pass = -(-bits // passes)
-
     rk, rp = relR.key, relR.payload
     sk, sp = relS.key, relS.payload
     shift = 0
@@ -84,49 +86,153 @@ def _radix_frame(relR: Relation, relS: Relation, cfg: JoinConfig, flavor: str):
         rk, rp, _ = pt.time_fn(phase, _partition_pass_jit, rk, rp, shift, b)
         sk, sp, _ = pt.time_fn(phase, _partition_pass_jit, sk, sp, shift, b)
         shift += b
+    pt.t.phases["partition"] = pt.t.phases.get(
+        "partition_pass1", 0.0) + pt.t.phases.get("partition_pass2", 0.0)
+    return rk, rp, sk, sp
 
-    # Partition-local join.  RHO = bucket-chaining build/probe; RHT =
-    # histogram (counting-sort) join; RSM = per-partition sort-merge.  All
-    # three are order-insensitive joins of co-partitioned data; the Tier-1
-    # vectorized equivalent is the union-sort propagation join, which XLA
-    # runs over all partitions at once (partition boundaries need not be
-    # materialized because bucket bits are key bits: sorting by key completes
-    # the partition-local order).
+
+# ---------------------------------------------------------------------------
+# RHO — Tier-2 Pallas fused pipeline with XLA fallback
+
+
+def _rho_pallas_available(relR: Relation, relS: Relation, cfg) -> bool:
+    if not cfg.use_pallas or cfg.materialize or cfg.key64:
+        return False
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return False
+    except Exception:
+        return False
+    from aqp_tpu.ops.pallas.rho3 import MAX_KEY
+
+    # key-domain precondition of the packed-key network (rho3.py MAX_KEY);
+    # generator/TPC-H keys always satisfy it, arbitrary inputs may not.
+    return bool(
+        (relR.key.dtype == jnp.int32)
+        and (relS.key.dtype == jnp.int32)
+    )
+
+
+@register("RHO")
+def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
+    """Parallel radix join, optimized — the paper's champion
+    (radix_join.cpp:1640-1643).  Count path = fused Pallas pipeline."""
+    if _rho_pallas_available(relR, relS, cfg):
+        from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3, RETRY_SALTS
+
+        pt = PhaseTimer()
+        t0 = time.perf_counter()
+        for salt in RETRY_SALTS:
+            m, c, ovf = pt.time_fn(
+                "join", rho_join_count_v3,
+                relR.key, relR.payload, relS.key, relS.payload, salt=salt)
+            if int(ovf) == 0:
+                pt.t.phases["total"] = time.perf_counter() - t0
+                return JoinResult(matches=m, checksum=c), pt.t
+        # adversarial skew beyond every salt: exact XLA core
+        out = pt.time_fn(
+            "join", mergejoin.merge_join_count,
+            relR.key, relR.payload, relS.key, relS.payload)
+        pt.t.phases["total"] = time.perf_counter() - t0
+        return to_join_result(out), pt.t
+    return _rho_xla(relR, relS, cfg)
+
+
+def _rho_xla(relR, relS, cfg):
+    """XLA radix frame (partition passes + partition-local union-sort
+    join) — the exact fallback and the CPU/materialize path."""
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    rk, rp, sk, sp = _partition_phases(relR, relS, cfg, pt)
     if cfg.materialize:
         out = pt.time_fn(
-            "join",
-            mergejoin.merge_join_materialize,
-            rk, rp, sk, sp, result_capacity(relS, cfg),
-        )
+            "join", mergejoin.merge_join_materialize,
+            rk, rp, sk, sp, result_capacity(relS, cfg))
     else:
         out = pt.time_fn("join", mergejoin.merge_join_count, rk, rp, sk, sp)
-    pt.t.phases["partition"] = pt.t.phases.get("partition_pass1", 0.0) + pt.t.phases.get(
-        "partition_pass2", 0.0
-    )
     pt.t.phases["total"] = time.perf_counter() - t0
     return to_join_result(out), pt.t
 
 
-@register("RHO")
-def RHO(relR, relS, cfg):
-    """Parallel radix join, optimized — the paper's champion
-    (radix_join.cpp:1640-1643)."""
-    return _radix_frame(relR, relS, cfg, "bucket_chaining")
-
-
 @register("RHO_seq")
 def RHO_seq(relR, relS, cfg):
-    """RHO with FORCE_2_PHASES semantics (two partition passes)."""
-    return _radix_frame(relR, relS, cfg.replace(passes=2), "bucket_chaining")
+    """RHO with FORCE_2_PHASES semantics (two partition passes), XLA frame."""
+    return _rho_xla(relR, relS, cfg.replace(passes=2))
+
+
+# ---------------------------------------------------------------------------
+# RHT — histogram (counting) join
+
+
+@jax.jit
+def _rht_build(rk, rp):
+    """Reorder R by key + exclusive payload prefix (the count→prefix→
+    reorder structure of histogram_join, radix_join.cpp:476-612)."""
+    k, p = jax.lax.sort((rk, rp), num_keys=1)
+    ppref = jnp.cumsum(p.astype(jnp.uint32), dtype=jnp.uint32)
+    ppref = jnp.concatenate([jnp.zeros((1,), jnp.uint32), ppref])
+    return k, p, ppref
+
+
+@jax.jit
+def _rht_probe(rk_sorted, ppref, sk, sp):
+    """Range-scan probe: each S key's R run is [lo, hi); multiplicity and
+    payload sum come from the prefix structure — exact under duplicate R
+    keys (the histogram join's range scan, radix_join.cpp:560-612)."""
+    lo = jnp.searchsorted(rk_sorted, sk, side="left")
+    hi = jnp.searchsorted(rk_sorted, sk, side="right")
+    mult = (hi - lo).astype(jnp.int32)
+    rp_sum = ppref[hi] - ppref[lo]
+    matches = jnp.sum(mult, dtype=jnp.int32)
+    checksum = jnp.sum(
+        rp_sum + mult.astype(jnp.uint32) * sp.astype(jnp.uint32),
+        dtype=jnp.uint32,
+    )
+    return mergejoin.JoinCounts(matches, checksum)
+
+
+@jax.jit
+def _rht_probe_materialize_gather(rk_sorted, rp_sorted, sk, sp):
+    """Unique-R materialize probe: gather the single matching R row."""
+    lo = jnp.clip(jnp.searchsorted(rk_sorted, sk), 0, rk_sorted.shape[0] - 1)
+    hit = rk_sorted[lo] == sk
+    return hit, jnp.where(hit, rp_sorted[lo], 0)
 
 
 @register("RHT")
-def RHT(relR, relS, cfg):
+def RHT(relR: Relation, relS: Relation, cfg: JoinConfig):
     """Radix + per-partition histogram join (radix_join.cpp:1645-1648)."""
-    return _radix_frame(relR, relS, cfg, "histogram")
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    rk, rp, sk, sp = _partition_phases(relR, relS, cfg, pt)
+    rks, rps, ppref = pt.time_fn("build", _rht_build, rk, rp)
+    if cfg.materialize:
+        hit, rpay = pt.time_fn(
+            "probe", _rht_probe_materialize_gather, rks, rps, sk, sp)
+        out = pt.time_fn(
+            "materialize", mergejoin.compact_matches,
+            hit, sk, rpay, sp, capacity=result_capacity(relS, cfg))
+    else:
+        out = pt.time_fn("probe", _rht_probe, rks, ppref, sk, sp)
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t
+
+
+# ---------------------------------------------------------------------------
+# RSM — radix + per-partition sort-merge
 
 
 @register("RSM")
 def RSM(relR, relS, cfg):
     """Radix + per-partition sort-merge (radix_sortmerge_join.cpp:82-137)."""
-    return _radix_frame(relR, relS, cfg, "sortmerge")
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    rk, rp, sk, sp = _partition_phases(relR, relS, cfg, pt)
+    if cfg.materialize:
+        out = pt.time_fn(
+            "merge", mergejoin.merge_join_materialize,
+            rk, rp, sk, sp, result_capacity(relS, cfg))
+    else:
+        out = pt.time_fn("merge", mergejoin.merge_join_count, rk, rp, sk, sp)
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t

@@ -1,22 +1,32 @@
-"""Sort-merge join engines: PSM and MWAY equivalents.
+"""Sort-merge join engines: PSM and MWAY.
 
 Reference: parallel_sortmerge_join.cpp:76-118 (PSM: parallel 3-way quicksort
 of both inputs + scalar merge-join) and sortmergejoin_multiway.cpp:90-537
 (MWAY: radix partition → per-chunk sort → multi-way merge through
 cache-resident FIFOs → merge-join).
 
-TPU design: the sort IS the merge preparation — `lax.sort` produces globally
-sorted relations (the multiway merge hierarchy is inside XLA's sort), and the
-merge-join is a data-parallel propagation scan (ops/mergejoin.py) instead of
-a sequential two-pointer walk.  MWAY's cache-sized-run structure maps to the
-Tier-2 Pallas band-merge kernel operating on VMEM-sized tiles.
+Two distinct TPU designs:
+
+  PSM   one global `lax.sort` per side (XLA's sort is itself a parallel
+        merge hierarchy — the direct analog of PSM's parallel quicksort),
+        then the data-parallel propagation merge-join.
+  MWAY  explicit run/merge structure like the reference: the tagged R∪S
+        union is cut into PARTFANOUT cache-sized runs, each run sorted
+        independently (vectorized 2D sort = the reference's sorting phase,
+        sortmergejoin_multiway.cpp:340-406), then a log2(PARTFANOUT)-round
+        binary merge tree of vectorized bitonic pair-merges (the FIFO
+        multiway merge's TPU shape, scalar_multiwaymerge.cpp), then the
+        propagation merge-join.  Phase profile: sort / merge / join —
+        genuinely different from PSM's single-sort stream.
 """
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
+import jax.numpy as jnp
 
 from aqp_tpu.config import JoinConfig
 from aqp_tpu.joins.api import register
@@ -24,6 +34,112 @@ from aqp_tpu.joins.common import result_capacity, to_join_result
 from aqp_tpu.ops import mergejoin
 from aqp_tpu.relation import Relation
 from aqp_tpu.utils.timing import PhaseTimer
+
+# The reference's PARTFANOUT (mway/params.h:16-24): number of independent
+# sorted runs produced by the sorting phase.
+PARTFANOUT = 128
+
+# Pad key sorts after every real packed key (real keys < 2^30 => packed
+# < 2^31-1) and is tagged S with an impossible key — inert in the join.
+_PAD_PACKED = 2**31 - 1
+
+
+def _bitonic_clean_rows(k, p):
+    """Sort each row of (m, n) given every row is a bitonic sequence.
+
+    log2(n) compare-exchange stages, each a reshape + min/max + payload
+    select — the vectorized form of a bitonic merge network."""
+    m, n = k.shape
+    s = n // 2
+    while s >= 1:
+        kv = k.reshape(m, n // (2 * s), 2, s)
+        pv = p.reshape(m, n // (2 * s), 2, s)
+        ak, bk = kv[:, :, 0, :], kv[:, :, 1, :]
+        ap, bp = pv[:, :, 0, :], pv[:, :, 1, :]
+        take = bk < ak  # ascending
+        lo_k = jnp.where(take, bk, ak)
+        hi_k = jnp.where(take, ak, bk)
+        lo_p = jnp.where(take, bp, ap)
+        hi_p = jnp.where(take, ap, bp)
+        k = jnp.stack([lo_k, hi_k], axis=2).reshape(m, n)
+        p = jnp.stack([lo_p, hi_p], axis=2).reshape(m, n)
+        s //= 2
+    return k, p
+
+
+@jax.jit
+def _mway_join(rk, rp, sk, sp):
+    """MWAY core: run-sort + binary merge tree + propagation join."""
+    nr, ns = rk.shape[0], sk.shape[0]
+    skey = jnp.concatenate([rk << 1, (sk << 1) | 1])
+    pay = jnp.concatenate([rp, sp])
+    n = skey.shape[0]
+    run = max(8, -(-n // PARTFANOUT))
+    run = 1 << (run - 1).bit_length()  # pow2: bitonic merge precondition
+    pad = PARTFANOUT * run - n
+    if pad:
+        skey = jnp.concatenate([skey, jnp.full((pad,), _PAD_PACKED, jnp.int32)])
+        pay = jnp.concatenate([pay, jnp.zeros((pad,), pay.dtype)])
+
+    # sorting phase: PARTFANOUT independent cache-sized runs
+    kv = skey.reshape(PARTFANOUT, run)
+    pv = pay.reshape(PARTFANOUT, run)
+    kv, pv = jax.lax.sort((kv, pv), num_keys=1)  # sorts along last axis
+
+    # multiway merge: log2(PARTFANOUT) binary rounds of bitonic pair-merges
+    runs = PARTFANOUT
+    width = run
+    while runs > 1:
+        a_k, b_k = kv[0::2], kv[1::2]
+        a_p, b_p = pv[0::2], pv[1::2]
+        kv = jnp.concatenate([a_k, b_k[:, ::-1]], axis=1)
+        pv = jnp.concatenate([a_p, b_p[:, ::-1]], axis=1)
+        kv, pv = _bitonic_clean_rows(kv, pv)
+        runs //= 2
+        width *= 2
+
+    pk = kv.reshape(-1)
+    spay = pv.reshape(-1)
+    # propagation merge-join (merge_join phase of the reference,
+    # joincommon.h:82-100)
+    is_r = (pk & 1) == 0
+    sk2 = pk >> 1
+    _, prop_key, prop_pay = mergejoin._last_valid_scan(
+        is_r, jnp.where(is_r, sk2, -1), jnp.where(is_r, spay, -1)
+    )
+    match = (~is_r) & (prop_key == sk2) & (pk != _PAD_PACKED)
+    matches = jnp.sum(match, dtype=jnp.int32)
+    checksum = jnp.sum(
+        jnp.where(match, prop_pay.astype(jnp.uint32)
+                  + spay.astype(jnp.uint32), 0),
+        dtype=jnp.uint32,
+    )
+    return mergejoin.JoinCounts(matches, checksum), (sk2, spay, match, prop_pay)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _mway_materialize(rk, rp, sk, sp, capacity: int):
+    _, (key, spay, match, prop_pay) = _mway_join(rk, rp, sk, sp)
+    return mergejoin.compact_matches(match, key, prop_pay, spay,
+                                     capacity=capacity)
+
+
+@register("MWAY")
+def MWAY(relR: Relation, relS: Relation, cfg: JoinConfig):
+    """m-way sort-merge join (sortmergejoin_multiway.cpp:90-537)."""
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    if cfg.materialize:
+        out = pt.time_fn(
+            "merge", _mway_materialize,
+            relR.key, relR.payload, relS.key, relS.payload,
+            capacity=result_capacity(relS, cfg))
+    else:
+        out, _ = pt.time_fn(
+            "merge", _mway_join,
+            relR.key, relR.payload, relS.key, relS.payload)
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t
 
 
 def _sortmerge(relR: Relation, relS: Relation, cfg: JoinConfig):
@@ -33,10 +149,12 @@ def _sortmerge(relR: Relation, relS: Relation, cfg: JoinConfig):
     # parallel_sortmerge_join.cpp:86-100).  The union sort in the merge core
     # re-merges them; pre-sorted inputs make that a cheap merge inside XLA.
     rk, rp = pt.time_fn(
-        "sort", jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)), relR.key, relR.payload
+        "sort", jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)),
+        relR.key, relR.payload
     )
     sk, sp = pt.time_fn(
-        "sort", jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)), relS.key, relS.payload
+        "sort", jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)),
+        relS.key, relS.payload
     )
     if cfg.materialize:
         out = pt.time_fn(
@@ -53,9 +171,4 @@ def _sortmerge(relR: Relation, relS: Relation, cfg: JoinConfig):
 
 @register("PSM")
 def PSM(relR, relS, cfg):
-    return _sortmerge(relR, relS, cfg)
-
-
-@register("MWAY")
-def MWAY(relR, relS, cfg):
     return _sortmerge(relR, relS, cfg)

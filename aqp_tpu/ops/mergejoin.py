@@ -183,6 +183,44 @@ def merge_join_materialize(
     return JoinMaterialized(matches, checksum, out_k, out_rp, out_sp)
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_matches(hit, key, r_payload, s_payload, capacity: int
+                    ) -> JoinMaterialized:
+    """Compact rows where `hit` into a fixed-capacity materialized result.
+
+    Shared output-assembly for probe-style engines (RHT/PHT/CHT/INL): given
+    per-S-row hit mask and the gathered R payload, produce the same
+    JoinMaterialized contract as merge_join_materialize (ChunkedTable
+    analog, ChunkedTable.cpp:49-171).  Sort-based compaction (sort by !hit).
+    """
+    matches = jnp.sum(hit, dtype=jnp.int32)
+    checksum = jnp.sum(
+        jnp.where(hit, r_payload.astype(jnp.uint32)
+                  + s_payload.astype(jnp.uint32), 0),
+        dtype=jnp.uint32,
+    )
+    inv = (~hit).astype(jnp.int32)
+    _, out_k, out_rp, out_sp = jax.lax.sort(
+        (inv, key, r_payload, s_payload), num_keys=1
+    )
+    n = out_k.shape[0]
+    if capacity <= n:
+        out_k, out_rp, out_sp = (
+            out_k[:capacity], out_rp[:capacity], out_sp[:capacity])
+    else:
+        pad = capacity - n
+        z = jnp.zeros((pad,), out_k.dtype)
+        out_k = jnp.concatenate([out_k, z])
+        out_rp = jnp.concatenate([out_rp, z])
+        out_sp = jnp.concatenate([out_sp, z])
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    live = idx < matches
+    out_k = jnp.where(live, out_k, -3)
+    out_rp = jnp.where(live, out_rp, 0)
+    out_sp = jnp.where(live, out_sp, 0)
+    return JoinMaterialized(matches, checksum, out_k, out_rp, out_sp)
+
+
 @jax.jit
 def merge_join_count_general(r_key, r_payload, s_key, s_payload) -> JoinCounts:
     """Duplicate-tolerant count: per-S-row match multiplicity via run-length

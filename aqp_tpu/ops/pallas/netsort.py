@@ -184,6 +184,173 @@ def merge_runs(k, p, run_rows, use_gather=True):
                       use_gather=use_gather)
 
 
+# ---------------------------------------------------------------------------
+# Hybrid-layout network (round-2 engine v2)
+#
+# Two physical layouts of the same (W, 128) element window:
+#   N (row-major):  element e at (e // 128, e % 128)
+#   T (tile-transposed): element e at (128*(e >> 14) + (e & 127),
+#                                      (e >> 7) & 127)
+# nt_transpose converts between them (it is an involution).  Stage strides
+# map to vector ops as:
+#   stride class     N layout              T layout
+#   1,2,4            lane gather           sublane roll      <- T
+#   8..64            lane gather           static row slice  <- T
+#   128..512         sublane roll          lane gather       <- N
+#   1024..8192       static row slice      lane gather       <- N
+#   >=16384          static row slice      static row slice  <- either
+# so a full network never needs a lane gather: every stage is a roll or a
+# static slice in its preferred layout, with tile transposes (XU-cheap) at
+# the switch points.  This is the TPU-native analog of the reference's
+# switch from scalar loops to AVX shuffles (radix_join.cpp:614-697): pick
+# the data layout that makes the hardware's cheap permutation primitive
+# (static slices here, in-register shuffles there) cover the hot strides.
+
+
+def nt_transpose(x):
+    """Convert a (W, 128) window between N and T layouts (involution)."""
+    w = x.shape[0]
+    return jnp.swapaxes(x.reshape(w // LANES, LANES, LANES), 1, 2).reshape(
+        w, LANES)
+
+
+def _bitmask_T(e_bit, row, lane):
+    """(e & (1<<e_bit)) != 0 evaluated in T layout coordinates."""
+    if e_bit < 7:
+        return (row & (1 << e_bit)) != 0
+    if e_bit < 14:
+        return (lane & (1 << (e_bit - 7))) != 0
+    return (row & (1 << (e_bit - 7))) != 0
+
+
+def _stage_slice_masked(k, p, jr, want_hi_of):
+    """Compare-exchange at row stride jr >= 8 via static slices, with a
+    per-element direction mask (for T-layout stages whose box direction
+    depends on lane bits).  want_hi_of(c0, rows, lanes per chunk slice) ->
+    bool mask for the chunk's LOWER half rows."""
+    w = k.shape[0]
+    outs_k, outs_p = [], []
+    for c0 in range(0, w, 2 * jr):
+        ak, bk = k[c0:c0 + jr], k[c0 + jr:c0 + 2 * jr]
+        ap, bp = p[c0:c0 + jr], p[c0 + jr:c0 + 2 * jr]
+        want_hi_low = want_hi_of(c0, jr)
+        # lower half wants hi => take partner if partner > self
+        take_a = (want_hi_low ^ (bk < ak)) & (ak != bk)
+        a2k = jnp.where(take_a, bk, ak)
+        a2p = jnp.where(take_a, bp, ap)
+        b2k = jnp.where(take_a, ak, bk)
+        b2p = jnp.where(take_a, ap, bp)
+        outs_k += [a2k, b2k]
+        outs_p += [a2p, b2p]
+    return jnp.concatenate(outs_k, axis=0), jnp.concatenate(outs_p, axis=0)
+
+
+def _stage_T(k, p, j, box, n, row, lane):
+    """One compare-exchange stage at element stride j in T layout.
+
+    Preferred for j <= 64 (rolls / within-tile slices) and j >= 16384
+    (cross-tile slices).  j in 128..8192 would need a lane gather — the
+    scheduler never routes those here."""
+    jb = j.bit_length() - 1
+    bb = min(box, n).bit_length() - 1
+    w = k.shape[0]
+    if j < 8:
+        # sublane roll pair; upper = row bit, desc = box bit (any class)
+        pk = _row_xor(k, j, row)
+        pp = _row_xor(p, j, row)
+        upper = _bitmask_T(jb, row, lane)
+        if box >= n:
+            want_hi = upper
+        else:
+            want_hi = upper ^ _bitmask_T(bb, row, lane)
+        take = (want_hi ^ (pk < k)) & (pk != k)
+        return jnp.where(take, pk, k), jnp.where(take, pp, p)
+    jr = j if j < 128 else j >> 7  # row stride
+    if box >= n:
+        def want_hi_of(c0, jr_):
+            return jnp.zeros((jr_, LANES), bool)
+        return _stage_slice_masked(k, p, jr, want_hi_of)
+    if (bb < 7) or (bb >= 14):
+        # box direction is a row-bit: constant per chunk
+        boxr = (1 << bb) if bb < 7 else (1 << (bb - 7))
+        def want_hi_of(c0, jr_, boxr=boxr):
+            desc = (c0 & boxr) != 0
+            return jnp.full((jr_, LANES), desc, bool)
+        return _stage_slice_masked(k, p, jr, want_hi_of)
+    # box direction is a lane-bit: mask per lane
+    lbit = 1 << (bb - 7)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (jr, LANES), 1)
+    desc = (lane_row & lbit) != 0
+    def want_hi_of(c0, jr_, desc=desc):
+        return desc
+    return _stage_slice_masked(k, p, jr, want_hi_of)
+
+
+def _pref_layout(j):
+    """Preferred layout for stride j; None = either."""
+    if j <= 64:
+        return "T"
+    if j <= 8192:
+        return "N"
+    return None
+
+
+def _net_schedule(n, lo_box):
+    """Yield (box, j) for the bitonic network boxes lo_box..n."""
+    box = lo_box
+    while box <= n:
+        j = box // 2
+        while j >= 1:
+            yield box, j
+            j //= 2
+        box *= 2
+
+
+def run_network_hybrid(k, p, stages, start_layout, end_layout="N"):
+    """Run bitonic stages choosing per-stage layout; insert transposes at
+    switches.  `stages` = iterable of (box, j).  Returns (k, p)."""
+    w, lanes = k.shape
+    assert lanes == LANES and w % LANES == 0
+    n = w * LANES
+    lane, row = _iotas(k.shape)
+    layout = start_layout
+    for box, j in stages:
+        pref = _pref_layout(j) or layout
+        if pref != layout:
+            k, p = nt_transpose(k), nt_transpose(p)
+            layout = pref
+        if layout == "T":
+            k, p = _stage_T(k, p, j, box, n, row, lane)
+        else:
+            k, p = stage(k, p, j, min(box, n), lane, row, True)
+    if layout != end_layout:
+        k, p = nt_transpose(k), nt_transpose(p)
+    return k, p
+
+
+def sort_pairs_hybrid(k, p, lo_box=2, start_layout="T", end_layout="N"):
+    """Full bitonic sort in the hybrid layout scheme.
+
+    With lo_box == 2 and start_layout == 'T' the input window is read in T
+    element order — callers sorting from scratch don't care about input
+    order, and this saves the entry transpose.  Output is in `end_layout`
+    element order (N for slot extraction)."""
+    n = k.shape[0] * LANES
+    return run_network_hybrid(
+        k, p, _net_schedule(n, lo_box), start_layout, end_layout)
+
+
+def merge_runs_hybrid(k, p, run_rows, use_gather=True):
+    """merge_runs with the hybrid-layout network (input/output N layout)."""
+    w = k.shape[0]
+    if run_rows >= w:
+        return k, p
+    k, p = flip_odd_runs(k, p, run_rows, use_gather=use_gather)
+    n = w * LANES
+    return run_network_hybrid(
+        k, p, _net_schedule(n, 2 * run_rows * LANES), "N", "N")
+
+
 def shift_fwd(x, d, fill, row):
     """Row-major element shift: out[e] = x[e-d] (out[e < d] = fill)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)

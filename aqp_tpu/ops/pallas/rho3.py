@@ -65,6 +65,13 @@ MAX_KEY = (1 << 30) - 2
 HASH_C = 2654435761 & ((1 << 30) - 1)  # Knuth constant mod 2^30, odd
 HASH_MASK = (1 << 30) - 1
 
+# Salt ladder for overflow retries (duplicate-key skew or a pad-aliasing
+# key under one salt rarely aliases under another odd multiplier); the
+# dispatcher walks these before falling back to the exact XLA core — the
+# SPMD replacement for the reference's dynamic task re-balancing
+# (radix_join.cpp:1086-1335).
+RETRY_SALTS = (HASH_C, 0x2545F491 | 1, 0x9E3779B9 & HASH_MASK | 1)
+
 
 @dataclass(frozen=True)
 class Rho3Params:

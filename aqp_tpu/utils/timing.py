@@ -122,7 +122,7 @@ class PhaseTimer:
             yield out
         finally:
             if "result" in out:
-                jax.block_until_ready(out["result"])
+                hard_sync(out["result"])
             self.t.phases[name] = self.t.phases.get(name, 0.0) + (
                 time.perf_counter() - t0
             )
@@ -130,6 +130,6 @@ class PhaseTimer:
     def time_fn(self, name: str, fn, *args, **kw):
         t0 = time.perf_counter()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        hard_sync(out)
         self.t.phases[name] = self.t.phases.get(name, 0.0) + (time.perf_counter() - t0)
         return out

@@ -16,8 +16,20 @@ ALL_ALGS = sorted(JOIN_ALGORITHMS)
 
 @pytest.fixture(scope="module")
 def workload():
+    """Reference workload shape but with RANDOM payloads: the reference
+    generators leave payloads zero (generator.cpp writes keys only), which
+    makes checksum assertions vacuous — non-zero payloads make the checksum
+    actually verify payload ROUTING through every probe path."""
+    import jax.numpy as jnp
+    from aqp_tpu.relation import Relation
+
+    rng = np.random.default_rng(99)
     r = create_relation_pk(NR, seed=11111)
     s = create_relation_fk(NS, NR, seed=22222)
+    r = Relation(key=r.key, payload=jnp.asarray(
+        rng.integers(1, 1 << 20, NR, dtype=np.int32)))
+    s = Relation(key=s.key, payload=jnp.asarray(
+        rng.integers(1, 1 << 20, NS, dtype=np.int32)))
     return r, s
 
 
