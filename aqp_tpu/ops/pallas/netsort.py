@@ -364,6 +364,50 @@ def shift_fwd(x, d, fill, row):
     return jnp.where(row < dr, fill, y)
 
 
+def propagate_last_r_split(k, p):
+    """propagate_last_r in two tiers: 7 full-size within-row shifts + a
+    near-free (W,1) cross-row max-scan + one combine pass — replaces the 17
+    full-size doubling stages (log2(W*128)) with log2(128) full passes.
+
+    Identical result to propagate_last_r for any fully sorted window."""
+    w = k.shape[0]
+    lane, row = _iotas(k.shape)
+    is_r = (k & 1) == 0
+    valid = k != KEY_PAD_INT
+    ck = jnp.where(is_r & valid, k, -1)
+    cp = jnp.where(is_r & valid, p, 0)
+    # within-row inclusive max-propagate (lanes only, no row carry)
+    d = 1
+    while d < LANES:
+        sck = jnp.where(lane >= d, pltpu.roll(ck, d, axis=1), -1)
+        scp = jnp.where(lane >= d, pltpu.roll(cp, d, axis=1), 0)
+        take = sck > ck
+        ck = jnp.where(take, sck, ck)
+        cp = jnp.where(take, scp, cp)
+        d *= 2
+    # per-row summary = last lane (inclusive within-row running last-R)
+    row_ck = ck[:, LANES - 1:LANES]
+    row_cp = cp[:, LANES - 1:LANES]
+    rrow = row[:, :1]
+
+    def shift_rows(x, dd, fill):
+        return jnp.where(rrow >= dd, pltpu.roll(x, dd, axis=0), fill)
+
+    # exclusive cross-row max-scan on the (W,1) summaries (near-free)
+    car_ck = shift_rows(row_ck, 1, jnp.int32(-1))
+    car_cp = shift_rows(row_cp, 1, jnp.int32(0))
+    d = 1
+    while d < w:
+        sck = shift_rows(car_ck, d, jnp.int32(-1))
+        scp = shift_rows(car_cp, d, jnp.int32(0))
+        take = sck > car_ck
+        car_ck = jnp.where(take, sck, car_ck)
+        car_cp = jnp.where(take, scp, car_cp)
+        d *= 2
+    take = car_ck > ck
+    return jnp.where(take, car_ck, ck), jnp.where(take, car_cp, cp)
+
+
 def propagate_last_r(k, p):
     """Forward max-propagate of the last R row (packed keys: R rows even).
 

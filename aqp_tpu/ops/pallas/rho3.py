@@ -47,8 +47,10 @@ from aqp_tpu.ops.pallas.netsort import (
     KEY_PAD_LOW,
     LANES,
     merge_runs,
-    propagate_last_r,
+    merge_runs_hybrid,
+    propagate_last_r_split,
     sort_pairs,
+    sort_pairs_hybrid,
 )
 
 # real keys must stay below this (packed pad = KEY_PAD_INT = 2^31-1)
@@ -140,24 +142,81 @@ def _extract_slots(k, p, k_scr, p_scr, loc_of, nslots, slot_rows, out_k,
     ovf_ref[0, 0] += total_ovf
 
 
+def _extract_slots_mxu(k, p, loc_of, nslots, slot_rows, out_k, out_p,
+                       ovf_ref, block_rows, prefix):
+    """Slot extraction as ONE int8 one-hot matmul on the MXU.
+
+    The 36 serialized dynamic-slice reads of _extract_slots become a single
+    row-gather: out[o] = sorted[row0(f(o)) + o%slot_rows], realized as
+    P @ X with P[o,s] = (s == src[o]) in int8 and X split into four 8-bit
+    planes (int8 MACs are exact; planes recombine with two's-complement
+    wraparound).  Measured ~1 ms of MXU time for the full headline dataset
+    vs ~15 ms of dynamic-slice extraction (notes/r2_probe_mxu.py) — the
+    TPU answer to the reference's SWWC scatter buffers
+    (radix_join.cpp:1010-1055)."""
+    w = block_rows
+    out_rows = nslots * slot_rows
+    lead = k[:, :1]
+    bl_row = jnp.swapaxes(loc_of(lead), 0, 1)          # (1, w)
+    o_i = jax.lax.broadcasted_iota(jnp.int32, (out_rows, w), 0)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (out_rows, w), 1)
+    f_o = o_i // slot_rows
+    q_o = o_i % slot_rows
+    c_lt = jnp.sum((bl_row < f_o).astype(jnp.int32), axis=1, keepdims=True)
+    e_f = jnp.sum((bl_row <= f_o).astype(jnp.int32), axis=1, keepdims=True)
+    row0 = jnp.clip(c_lt - 1, 0, w - slot_rows)         # (out_rows, 1)
+    first = q_o[:, :1] == 0                             # one row per slot
+    ovf_ref[0, 0] += jnp.sum(
+        jnp.where(first, jnp.maximum(e_f - row0 - slot_rows, 0), 0),
+        dtype=jnp.int32)
+    src = row0 + q_o[:, :1]
+    P = (s_i == src).astype(jnp.int8)
+
+    def g(x):
+        planes = [((x >> (8 * i)) & 0xFF).astype(jnp.int8) for i in range(4)]
+        xp = jnp.concatenate(planes, axis=1)            # (w, 4*LANES)
+        y = jax.lax.dot_general(
+            P, xp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        L = LANES
+        return ((y[:, 0:L] & 0xFF) | ((y[:, L:2 * L] & 0xFF) << 8)
+                | ((y[:, 2 * L:3 * L] & 0xFF) << 16) | (y[:, 3 * L:] << 24))
+
+    gk, gp = g(k), g(p)
+    f_col = f_o[:, :LANES]
+    loc = loc_of(gk)
+    mk = jnp.where(loc == f_col, gk,
+                   jnp.where(loc < f_col, KEY_PAD_LOW, KEY_PAD_INT))
+    mp = jnp.where(loc == f_col, gp, 0)
+    out_k[prefix] = mk.reshape(out_k.shape[len(prefix):])
+    out_p[prefix] = mp.reshape(out_p.shape[len(prefix):])
+
+
 # ---------------------------------------------------------------------------
 # K1: block sort + level-1 slot emit
 
 def _make_k1(prm: Rho3Params, gmax: int, use_gather: bool):
-    def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, ovf_ref,
-               k_scr, p_scr):
+    hybrid = prm.block_rows % LANES == 0
+
+    def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, ovf_ref, *scr):
         @pl.when(pl.program_id(0) == 0)
         def _():
             ovf_ref[0, 0] = jnp.int32(0)
 
         scale = scale_ref[0]
-        k, p = sort_pairs(k_ref[:], p_ref[:], use_gather=use_gather)
 
         def loc_of(x):
             return _fine_bucket(x, scale, gmax) // prm.f2
 
-        _extract_slots(k, p, k_scr, p_scr, loc_of, prm.f1, prm.slot_rows,
-                       ok_ref, op_ref, ovf_ref, prm.block_rows, (0,))
+        if hybrid:
+            k, p = sort_pairs_hybrid(k_ref[:], p_ref[:])
+            _extract_slots_mxu(k, p, loc_of, prm.f1, prm.slot_rows,
+                               ok_ref, op_ref, ovf_ref, prm.block_rows, (0,))
+        else:
+            k, p = sort_pairs(k_ref[:], p_ref[:], use_gather=use_gather)
+            _extract_slots(k, p, scr[0], scr[1], loc_of, prm.f1,
+                           prm.slot_rows, ok_ref, op_ref, ovf_ref,
+                           prm.block_rows, (0,))
 
     return kernel
 
@@ -167,9 +226,9 @@ def _make_k1(prm: Rho3Params, gmax: int, use_gather: bool):
 
 def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
     w = prm.block_rows  # group * slot_rows
+    hybrid = w % LANES == 0
 
-    def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, ovf_ref,
-               k_scr, p_scr):
+    def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, ovf_ref, *scr):
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _():
             ovf_ref[0, 0] = jnp.int32(0)
@@ -178,7 +237,11 @@ def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
         f1_idx = pl.program_id(0)
         k = k_ref[:].reshape(w, LANES)
         p = p_ref[:].reshape(w, LANES)
-        k, p = merge_runs(k, p, prm.slot_rows, use_gather=use_gather)
+        if hybrid:
+            k, p = merge_runs_hybrid(k, p, prm.slot_rows,
+                                     use_gather=use_gather)
+        else:
+            k, p = merge_runs(k, p, prm.slot_rows, use_gather=use_gather)
 
         def loc_of(x):
             g = _fine_bucket(x, scale, gmax)
@@ -189,8 +252,13 @@ def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
                              jnp.where(g < 0, -1,
                                        jnp.clip(loc, -1, prm.f2)))
 
-        _extract_slots(k, p, k_scr, p_scr, loc_of, prm.f2,
-                       prm.kd_slot_rows, ok_ref, op_ref, ovf_ref, w, (0, 0))
+        if hybrid:
+            _extract_slots_mxu(k, p, loc_of, prm.f2, prm.kd_slot_rows,
+                               ok_ref, op_ref, ovf_ref, w, (0, 0))
+        else:
+            _extract_slots(k, p, scr[0], scr[1], loc_of, prm.f2,
+                           prm.kd_slot_rows, ok_ref, op_ref, ovf_ref, w,
+                           (0, 0))
 
     return kernel
 
@@ -200,6 +268,7 @@ def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
 
 def _make_k3(prm: Rho3Params, nbg: int, use_gather: bool):
     w = nbg * prm.kd_slot_rows
+    hybrid = w % LANES == 0
 
     def kernel(k_ref, p_ref, m_ref, c_ref):
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
@@ -209,8 +278,12 @@ def _make_k3(prm: Rho3Params, nbg: int, use_gather: bool):
 
         k = k_ref[:].reshape(w, LANES)
         p = p_ref[:].reshape(w, LANES)
-        k, p = merge_runs(k, p, prm.kd_slot_rows, use_gather=use_gather)
-        ck, cp = propagate_last_r(k, p)
+        if hybrid:
+            k, p = merge_runs_hybrid(k, p, prm.kd_slot_rows,
+                                     use_gather=use_gather)
+        else:
+            k, p = merge_runs(k, p, prm.kd_slot_rows, use_gather=use_gather)
+        ck, cp = propagate_last_r_split(k, p)
         match = ((k & 1) == 1) & (k != KEY_PAD_INT) & (ck == k - 1)
         m_ref[0, 0] += jnp.sum(match, dtype=jnp.int32)
         # mod-2^32 checksum in int32 two's-complement (no unsigned
@@ -220,20 +293,57 @@ def _make_k3(prm: Rho3Params, nbg: int, use_gather: bool):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# K3M: region merge + propagate join, materializing output columns
+
+def _make_k3m(prm: Rho3Params, nbg: int, use_gather: bool):
+    w = nbg * prm.kd_slot_rows
+    hybrid = w % LANES == 0
+
+    def kernel(inv_ref, k_ref, p_ref, ok_ref, orp_ref, osp_ref,
+               m_ref, c_ref):
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _():
+            m_ref[0, 0] = jnp.int32(0)
+            c_ref[0, 0] = jnp.int32(0)
+
+        k = k_ref[:].reshape(w, LANES)
+        p = p_ref[:].reshape(w, LANES)
+        if hybrid:
+            k, p = merge_runs_hybrid(k, p, prm.kd_slot_rows,
+                                     use_gather=use_gather)
+        else:
+            k, p = merge_runs(k, p, prm.kd_slot_rows, use_gather=use_gather)
+        ck, cp = propagate_last_r_split(k, p)
+        match = ((k & 1) == 1) & (k != KEY_PAD_INT) & (ck == k - 1)
+        m_ref[0, 0] += jnp.sum(match, dtype=jnp.int32)
+        c_ref[0, 0] += jnp.sum(jnp.where(match, cp + p, 0), dtype=jnp.int32)
+        # original key = sigma * salt^{-1} mod 2^30 (odd salt is invertible)
+        okey = (((k >> 1) * inv_ref[0, 0]) & HASH_MASK)
+        ok_ref[0, 0] = jnp.where(match, okey, -3).reshape(ok_ref.shape[2:])
+        orp_ref[0, 0] = jnp.where(match, cp, 0).reshape(orp_ref.shape[2:])
+        osp_ref[0, 0] = jnp.where(match, p, 0).reshape(osp_ref.shape[2:])
+
+    return kernel
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 1).bit_length() if x > 1 else 1
 
 
-@functools.partial(jax.jit, static_argnames=("prm", "interpret"))
-def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
-                      salt: int = HASH_C, interpret: bool = False):
-    """Fused two-level fixed-slot Pallas RHO count join.
+def _modinv_pow2(salt, bits=30):
+    """2-adic Newton inverse of an odd multiplier (traced int32 scalar)."""
+    inv = salt
+    for _ in range(5):
+        inv = inv * (2 - salt * inv)
+    return inv & ((1 << bits) - 1)
 
-    Returns (matches, checksum, overflow).  overflow > 0 => result invalid
-    (slot overflow under duplicate-key skew, or a pad-aliasing key);
-    callers fall back to the XLA core or retry with another odd `salt`.
-    Exact for unique R keys <= MAX_KEY.
-    """
+
+def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
+                      interpret: bool):
+    """Shared K1+K2 front end: pack, pad, two-level fixed-slot partition.
+
+    Returns (k2, p2, nbg, ovf, alias)."""
     use_gather = not interpret
     block = prm.block_rows * LANES
     cmul = jnp.int32(salt)
@@ -258,6 +368,14 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
     kw = packed.reshape(nb * prm.block_rows, LANES)
     pw = pay.reshape(nb * prm.block_rows, LANES)
 
+    # dynamic-slice extraction (non-hybrid small geometries) stages the
+    # sorted window in VMEM scratch; the MXU path needs none
+    hybrid = prm.block_rows % LANES == 0
+    scratch = [] if hybrid else [
+        pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
+        pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
+    ]
+
     # ---- K1
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -271,10 +389,7 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
                          lambda i, s: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
-            pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
-        ],
+        scratch_shapes=list(scratch),
     )
     k1, p1, ovf1 = pl.pallas_call(
         _make_k1(prm, gmax, use_gather),
@@ -304,10 +419,7 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
                          lambda f, g, s: (f, g, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
-            pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
-        ],
+        scratch_shapes=list(scratch),
     )
     k2, p2, ovf2 = pl.pallas_call(
         _make_k2(prm, gmax, use_gather),
@@ -321,6 +433,22 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
         ],
         interpret=interpret,
     )(scale.reshape(1), k1, p1)
+    return k2, p2, nbg, ovf1[0, 0] + ovf2[0, 0], alias
+
+
+@functools.partial(jax.jit, static_argnames=("prm", "interpret"))
+def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
+                      salt: int = HASH_C, interpret: bool = False):
+    """Fused two-level fixed-slot Pallas RHO count join.
+
+    Returns (matches, checksum, overflow).  overflow > 0 => result invalid
+    (slot overflow under duplicate-key skew, or a pad-aliasing key);
+    callers fall back to the XLA core or retry with another odd `salt`.
+    Exact for unique R keys <= MAX_KEY.
+    """
+    use_gather = not interpret
+    k2, p2, nbg, ovf, alias = _partition_2level(
+        rk, rp, sk, sp, prm, salt, interpret)
 
     # ---- K3: region (f1, f2) = all nbg windows' slot f2: static index map
     m, c = pl.pallas_call(
@@ -337,5 +465,52 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
         interpret=interpret,
     )(k2, p2)
 
+    return (m[0, 0], c[0, 0].astype(jnp.uint32), ovf + alias)
+
+
+@functools.partial(jax.jit, static_argnames=("prm", "interpret"))
+def rho_join_materialize_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
+                            salt: int = HASH_C, interpret: bool = False):
+    """Fused Pallas RHO join with MATERIALIZED output columns.
+
+    Returns (matches, checksum, out_key, out_rpay, out_spay, overflow).
+    Output columns are REGION-CHUNKED with holes: every matched S row
+    appears exactly once as (key, R payload, S payload); non-match slots
+    carry the sentinel key -3 (never a real key) and zero payloads.  This
+    is the TPU-native analog of the reference's chunked tables
+    (ChunkedTable.cpp:49-171): output chunks are independently sized and
+    non-contiguous; consumers either iterate (downstream joins accept the
+    sentinel directly — it can never match) or compact with
+    ops/mergejoin.compact_matches when a dense table is required.
+    """
+    use_gather = not interpret
+    k2, p2, nbg, ovf, alias = _partition_2level(
+        rk, rp, sk, sp, prm, salt, interpret)
+    w = nbg * prm.kd_slot_rows
+    inv = _modinv_pow2(jnp.int32(salt)).reshape(1, 1)
+
+    ok, orp, osp, m, c = pl.pallas_call(
+        _make_k3m(prm, nbg, use_gather),
+        grid=(prm.f1, prm.f2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [pl.BlockSpec(
+            (1, nbg, 1, prm.kd_slot_rows, LANES),
+            lambda a, b: (a, 0, b, 0, 0))] * 2,
+        out_specs=[
+            pl.BlockSpec((1, 1, w, LANES), lambda a, b: (a, b, 0, 0)),
+            pl.BlockSpec((1, 1, w, LANES), lambda a, b: (a, b, 0, 0)),
+            pl.BlockSpec((1, 1, w, LANES), lambda a, b: (a, b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((prm.f1, prm.f2, w, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((prm.f1, prm.f2, w, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((prm.f1, prm.f2, w, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(inv, k2, p2)
+
     return (m[0, 0], c[0, 0].astype(jnp.uint32),
-            ovf1[0, 0] + ovf2[0, 0] + alias)
+            ok.reshape(-1), orp.reshape(-1), osp.reshape(-1), ovf + alias)

@@ -70,7 +70,7 @@ def bench_join(nr, ns, overhead):
     assert overflow == 0, f"region overflow on oracle workload: {overflow}"
     assert matches == ns, f"wrong join cardinality: {matches} != {ns}"
     best = float("inf")
-    for _ in range(4):
+    for _ in range(8):
         t0 = time.perf_counter()
         m, c, ovf = rho_join_count_fused(
             relR.key, relR.payload, relS.key, relS.payload
@@ -81,6 +81,34 @@ def bench_join(nr, ns, overhead):
         best = min(best, time.perf_counter() - t0)
     t = max(best - overhead, 1e-6)
     return (nr + ns) / t / 1e6, t, matches
+
+
+def bench_join_materialize(nr, ns, overhead):
+    """Materialized RHO throughput (reference: 721 M rec/s with
+    CHUNKED_TABLE, data/slow-malloc.csv).  Output = region-chunked columns
+    (chunked-table analog); correctness asserted via count + spot checksum."""
+    from aqp_tpu.data import create_relation_pk, create_relation_fk
+    from aqp_tpu.engine import rho_join_materialize_fused
+
+    relR = create_relation_pk(nr, seed=11111)
+    relS = create_relation_fk(ns, nr, seed=22222)
+    _sync((relR.key, relS.key))
+
+    m, c, ok, orp, osp, ovf = rho_join_materialize_fused(
+        relR.key, relR.payload, relS.key, relS.payload)
+    assert int(ovf) == 0 and int(m) == ns, (int(m), int(ovf))
+    # output sanity: number of non-sentinel rows equals matches
+    live = int(jnp.sum((ok != -3).astype(jnp.int64)))
+    assert live == ns, (live, ns)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = rho_join_materialize_fused(
+            relR.key, relR.payload, relS.key, relS.payload)
+        int(out[0])
+        best = min(best, time.perf_counter() - t0)
+    t = max(best - overhead, 1e-6)
+    return (nr + ns) / t / 1e6
 
 
 def bench_scan(n, overhead):
@@ -116,6 +144,14 @@ def main():
     extras = {"dispatch_overhead_ms": round(overhead * 1e3, 1)}
 
     mrows, t, matches = bench_join(nr, ns, overhead)
+
+    try:
+        mat = bench_join_materialize(nr, ns, overhead)
+        extras["materialize_mrows"] = round(mat, 1)
+        # reference materialized RHO = 721 M rec/s (data/slow-malloc.csv)
+        extras["materialize_vs_baseline"] = round(mat / 721.0, 2)
+    except Exception as e:  # pragma: no cover
+        extras["materialize_error"] = str(e)[:120]
 
     try:
         gbs = bench_scan((1 << 20) if small else (1 << 28), overhead)
