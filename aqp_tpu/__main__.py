@@ -194,6 +194,18 @@ def cmd_matrix(args):
 
 
 def main(argv=None):
+    import os
+
+    # Pallas bitonic blocks at sub>=1024 need the scoped-VMEM raise; must be
+    # set before the first TPU compile (bench.py sets the same default).
+    os.environ.setdefault(
+        "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=100000")
+    # Honor JAX_PLATFORMS=cpu even where sitecustomize pre-registers the TPU
+    # plugin and captures the env before this process's vars take effect.
+    from aqp_tpu.utils import ensure_platform_from_env
+
+    ensure_platform_from_env()
+
     p = argparse.ArgumentParser(prog="aqp_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -89,6 +89,88 @@ def scan_sum_pallas(col, low, high, sub: int = SUB, interpret: bool = False):
     return jnp.sum(parts.astype(jnp.int64))
 
 
+# ---------------------------------------------------------------------------
+# Write-producing scan modes (the reference's hard rows): implicit index
+# scan (row-id output, SIMD512.cpp implicit_index_scan_self_alloc), value
+# scan (decompress + compressstore, SIMD512::scan), and dict scans (8-bit
+# codes gathered through a dictionary, SIMD512.cpp:320-335).  All three ride
+# the row-granular Pallas compactor (rho2.compact_kp: block sort with pads
+# last + row-DMA scatter — measured ~9x the XLA sort-based compaction),
+# against the reference's ~26.5 GB/s index-scan write rate
+# (SimdScanMulti/results/data/write-rate.csv).
+#
+# Output contract = chunked-table style fixed capacity: arrays of
+# cap_rows*128 elements, valid entries first (block-granular), empty slots
+# carry the sentinel; `count` gives the exact number of qualifying rows and
+# `overflow` reports a too-small capacity (count first or retry bigger —
+# the reference's self-alloc mode sizes from a count pass too).
+
+
+def _mask_to_kp(col, low, high, payload):
+    n = col.shape[0]
+    x = col.astype(jnp.int32)
+    m = (x >= jnp.asarray(low, jnp.int32)) & (x <= jnp.asarray(high, jnp.int32))
+    rowid = jnp.arange(n, dtype=jnp.int32)
+    from aqp_tpu.ops.pallas.rho2 import PAD_S_INPUT
+
+    key = jnp.where(m, rowid, PAD_S_INPUT)
+    cnt = jnp.sum(m, dtype=jnp.int32)
+    return key, payload, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "interpret"))
+def scan_index_pallas(col, low, high, cap_rows: int, interpret: bool = False):
+    """Implicit index scan: compacted row-ids of qualifying rows.
+
+    Returns (rowids[cap_rows*128], count, overflow); empty slots carry
+    PAD_S_INPUT (>= 2^30-1, never a row id)."""
+    from aqp_tpu.ops.pallas.rho2 import compact_kp
+
+    key, pay, cnt = _mask_to_kp(col, low, high,
+                                jnp.zeros_like(col, jnp.int32))
+    out_k, _, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)
+    return out_k, cnt, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "interpret"))
+def scan_values_pallas(col, low, high, cap_rows: int,
+                       interpret: bool = False):
+    """Value scan (SIMD512::scan): qualifying values, decompressed to int32
+    and compacted.  Returns (rowids, values, count, overflow).
+
+    Compaction is block-granular: pad slots (rowid >= 2^30-1) may appear at
+    block-boundary rows, so consumers mask by rowid — value filler (0) is
+    NOT distinguishable on its own (0 is a legal column value)."""
+    from aqp_tpu.ops.pallas.rho2 import compact_kp
+
+    key, pay, cnt = _mask_to_kp(col, low, high, col.astype(jnp.int32))
+    out_k, out_v, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)
+    return out_k, out_v, cnt, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "interpret"))
+def scan_dict_pallas(col, dict_lo, dict_hi, low, high, cap_rows: int,
+                     interpret: bool = False):
+    """Dict scan: qualifying 8-bit codes gathered through a 256-entry
+    dictionary of 64-bit values stored as two int32 planes (the columnar
+    split of the reference's `_mm512_i64gather_epi64` through the dict,
+    SIMD512.cpp:320-335 — pure-int planes are the TPU-native layout, cf.
+    TpcHTypes.hpp's date→int conversion).
+
+    Returns (rowids, lo, hi, count, overflow): slots with rowid >= 2^30-1
+    are block-boundary filler (count gives the exact total).  The dict
+    gather rides the compacted CODES (256-entry take on ~sel*n rows), so
+    the write volume matches the reference's dict mode: one 64-bit value
+    per qualifying row."""
+    from aqp_tpu.ops.pallas.rho2 import compact_kp
+
+    key, pay, cnt = _mask_to_kp(col, low, high, col.astype(jnp.int32))
+    out_k, codes, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)
+    out_lo = jnp.take(dict_lo, codes, mode="clip")
+    out_hi = jnp.take(dict_hi, codes, mode="clip")
+    return out_k, out_lo, out_hi, cnt, ovf
+
+
 @functools.partial(jax.jit, static_argnames=("sub", "interpret"))
 def scan_bitvector_pallas(col, low, high, sub: int = SUB,
                           interpret: bool = False):

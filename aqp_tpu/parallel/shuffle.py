@@ -78,3 +78,60 @@ def shuffle_relation(key, payload, axis: str, capacity: int, pad_key, salt: int 
     rp = jax.lax.all_to_all(bp, axis, split_axis=0, concat_axis=0, tiled=False)
     ovf_total = jax.lax.psum(ovf, axis)
     return rk.reshape(-1), rp.reshape(-1), ovf_total
+
+
+def _pack_by_dest(key, payload, dest, n_dest: int, capacity: int, pad_key):
+    """_pack_send_buffers with a precomputed destination per row."""
+    dest = jnp.where(key == pad_key, n_dest, dest)
+    d, k, p = jax.lax.sort((dest, key, payload), num_keys=1, is_stable=True)
+    n = k.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    hist = jnp.sum(
+        (d[:, None] == jnp.arange(n_dest + 1)[None, :]).astype(jnp.int32),
+        axis=0)
+    starts = jnp.cumsum(hist) - hist
+    slot = pos - starts[jnp.clip(d, 0, n_dest)]
+    in_cap = (slot < capacity) & (d < n_dest)
+    overflow = jnp.sum((slot >= capacity) & (d < n_dest), dtype=jnp.int32)
+    flat_idx = jnp.where(in_cap, d * capacity + slot, n_dest * capacity)
+    buf_k = jnp.full((n_dest * capacity + 1,), pad_key, k.dtype).at[
+        flat_idx].set(k, unique_indices=True, mode="drop")[:-1]
+    buf_p = jnp.zeros((n_dest * capacity + 1,), p.dtype).at[flat_idx].set(
+        p, unique_indices=True, mode="drop")[:-1]
+    return (buf_k.reshape(n_dest, capacity), buf_p.reshape(n_dest, capacity),
+            overflow)
+
+
+def shuffle_relation_hier(key, payload, host_axis: str, chip_axis: str,
+                          cap_host: int, cap_chip: int, pad_key,
+                          salt: int = 0):
+    """Two-level hierarchical shuffle over a (host × chip) mesh.
+
+    The multi-pass composition of SURVEY.md §2c row 8: pass 1 routes rows to
+    the owning HOST over the DCN axis (destination = high part of the hash
+    bucket), pass 2 routes within the host to the owning CHIP over ICI.
+    This is the cluster analog of the reference's 2-pass radix partition
+    (radix_join.cpp:319-329): coarse fanout first so the expensive (DCN)
+    exchange moves each row once, fine fanout on the faster interconnect.
+
+    Final owner of a key = mesh position (dest // nc, dest % nc) where
+    dest = partition_hash(key) % (nh*nc) — identical key→owner mapping for
+    every sender, so all copies of a key meet.  Returns (key, payload,
+    overflow_total); overflow counts rows dropped at either level (psum'd).
+    """
+    nh = jax.lax.axis_size(host_axis)
+    nc = jax.lax.axis_size(chip_axis)
+    bits = max(1, (nh * nc - 1).bit_length())
+    dest = partition_hash(key, bits, salt=salt) % (nh * nc)
+    # level 1: to the destination host (DCN)
+    bk, bp, ovf1 = _pack_by_dest(key, payload, dest // nc, nh, cap_host,
+                                 pad_key)
+    k1 = jax.lax.all_to_all(bk, host_axis, 0, 0, tiled=False).reshape(-1)
+    p1 = jax.lax.all_to_all(bp, host_axis, 0, 0, tiled=False).reshape(-1)
+    # level 2: within the host, to the destination chip (ICI)
+    dest2 = partition_hash(k1, bits, salt=salt) % (nh * nc) % nc
+    bk2, bp2, ovf2 = _pack_by_dest(k1, p1, dest2, nc, cap_chip, pad_key)
+    k2 = jax.lax.all_to_all(bk2, chip_axis, 0, 0, tiled=False).reshape(-1)
+    p2 = jax.lax.all_to_all(bp2, chip_axis, 0, 0, tiled=False).reshape(-1)
+    ovf = jax.lax.psum(jax.lax.psum(ovf1 + ovf2, host_axis), chip_axis)
+    return k2, p2, ovf

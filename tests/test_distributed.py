@@ -24,6 +24,77 @@ def test_dist_join_exact_parity():
     assert int(ck) == int(ref.checksum)
 
 
+def test_dist_join_2d_hierarchical_parity():
+    """2-axis (host × chip) mesh: the hierarchical DCN→ICI shuffle must give
+    bit-identical counts/checksums to the single-device engine."""
+    from aqp_tpu.parallel.mesh import make_mesh_2d
+    from aqp_tpu.parallel.dist_join import dist_join_count_2d
+
+    r = create_relation_pk(1 << 12, seed=31)
+    s = create_relation_fk(1 << 14, 1 << 12, seed=32)
+    ref = merge_join_count(r.key, r.payload, s.key, s.payload)
+    mesh = make_mesh_2d(2, 4)
+    m, ck, ovr, ovs = dist_join_count_2d(r, s, mesh)
+    assert int(ovr) == 0 and int(ovs) == 0
+    assert int(m) == int(ref.matches) == s.num_tuples
+    assert int(ck) == int(ref.checksum)
+
+
+def test_dist_join_materialize_parity():
+    """Distributed materialize: sharded output columns must multiset-equal
+    the single-device materialized join (nonzero payloads so routing is
+    actually verified)."""
+    import jax
+    import jax.numpy as jnp
+    from aqp_tpu.ops.mergejoin import merge_join_materialize
+    from aqp_tpu.parallel.dist_join import dist_join_materialize
+    from aqp_tpu.relation import Relation
+
+    nr, ns = 1 << 11, 1 << 13
+    r0 = create_relation_pk(nr, seed=41)
+    s0 = create_relation_fk(ns, nr, seed=42)
+    kr = jax.random.PRNGKey(7)
+    r = Relation(r0.key, jax.random.randint(kr, (nr,), 1, 1 << 20, jnp.int32))
+    s = Relation(s0.key, jax.random.randint(
+        jax.random.PRNGKey(8), (ns,), 1, 1 << 20, jnp.int32))
+    ref = merge_join_materialize(r.key, r.payload, s.key, s.payload, ns)
+    mesh = make_mesh(8)
+    m, ck, ok, orp, osp, ovf = dist_join_materialize(r, s, mesh)
+    assert int(ovf) == 0
+    assert int(m) == int(ref.matches) == ns
+    assert int(ck) == int(ref.checksum)
+    live = np.asarray(ok) >= 0
+    assert int(live.sum()) == ns
+    # multiset equality of (key, rp, sp) triples vs the reference output
+    def trip(k, a, b):
+        t = np.stack([np.asarray(k), np.asarray(a), np.asarray(b)], 1)
+        return t[np.lexsort(t.T)]
+    got = trip(np.asarray(ok)[live], np.asarray(orp)[live],
+               np.asarray(osp)[live])
+    want = trip(np.asarray(ref.key)[:ns], np.asarray(ref.r_payload)[:ns],
+                np.asarray(ref.s_payload)[:ns])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dist_join_auto_escalates_on_skew():
+    """Zipf z=1.5 overloads one destination bucket under every salt; the
+    auto path must escalate to the skew tier and still return the exact
+    count (closing shuffle.py's salted-retry promise)."""
+    from aqp_tpu.parallel.dist_join import dist_join_count_auto
+
+    nr, ns = 1 << 12, 1 << 14
+    r = create_relation_pk(nr, seed=51)
+    s = create_relation_zipf(ns, nr, 1.5, seed=52)
+    ref = merge_join_count(r.key, r.payload, s.key, s.payload)
+    mesh = make_mesh(8)
+    m, ck, tier = dist_join_count_auto(r, s, mesh)
+    assert m == int(ref.matches) == ns
+    assert ck == int(ref.checksum)
+    # the workload is engineered to need escalation; if the hash tier fit,
+    # the test is vacuous — assert it didn't
+    assert tier == "skew", tier
+
+
 def test_dist_join_skewed_overflow_reported():
     """Zipf z=1.5: the hash shuffle must either fit (good hash spreads
     distinct keys) or report overflow honestly."""
