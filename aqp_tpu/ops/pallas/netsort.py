@@ -65,9 +65,12 @@ def _row_xor(x, jr, row):
 
 
 def _stage_lane(k, p, j, box, lane, row, use_gather):
-    """Compare-exchange at element stride j < 128 (within rows)."""
+    """Compare-exchange at element stride j < 128 (within rows).
+
+    p may be None (keys-only network: count joins move no payloads —
+    the reference's count path also touches no payloads,
+    radix_join.cpp:428-447 count branch)."""
     pk = _lane_xor(k, j, lane, use_gather)
-    pp = _lane_xor(p, j, lane, use_gather)
     upper = (lane & j) != 0
     if box < LANES:
         desc = (lane & box) != 0
@@ -75,17 +78,22 @@ def _stage_lane(k, p, j, box, lane, row, use_gather):
         desc = (row & (box // LANES)) != 0
     want_hi = upper ^ desc
     take = (want_hi ^ (pk < k)) & (pk != k)
+    if p is None:
+        return jnp.where(take, pk, k), None
+    pp = _lane_xor(p, j, lane, use_gather)
     return jnp.where(take, pk, k), jnp.where(take, pp, p)
 
 
 def _stage_roll(k, p, jr, box, row):
     """Compare-exchange at row stride jr in {1,2,4} via sublane rolls."""
     pk = _row_xor(k, jr, row)
-    pp = _row_xor(p, jr, row)
     upper = (row & jr) != 0
     desc = (row & (box // LANES)) != 0
     want_hi = upper ^ desc
     take = (want_hi ^ (pk < k)) & (pk != k)
+    if p is None:
+        return jnp.where(take, pk, k), None
+    pp = _row_xor(p, jr, row)
     return jnp.where(take, pk, k), jnp.where(take, pp, p)
 
 
@@ -100,15 +108,17 @@ def _stage_slice(k, p, jr, boxr):
     for c0 in range(0, w, 2 * jr):
         desc = (c0 & boxr) != 0
         ak, bk = k[c0:c0 + jr], k[c0 + jr:c0 + 2 * jr]
-        ap, bp = p[c0:c0 + jr], p[c0 + jr:c0 + 2 * jr]
         lo = jnp.minimum(ak, bk)
         hi = jnp.maximum(ak, bk)
         a2, b2 = (hi, lo) if desc else (lo, hi)
         outs_k.append(a2)
         outs_k.append(b2)
-        outs_p.append(jnp.where(a2 != ak, bp, ap))
-        outs_p.append(jnp.where(b2 != bk, ap, bp))
-    return (jnp.concatenate(outs_k, axis=0), jnp.concatenate(outs_p, axis=0))
+        if p is not None:
+            ap, bp = p[c0:c0 + jr], p[c0 + jr:c0 + 2 * jr]
+            outs_p.append(jnp.where(a2 != ak, bp, ap))
+            outs_p.append(jnp.where(b2 != bk, ap, bp))
+    return (jnp.concatenate(outs_k, axis=0),
+            jnp.concatenate(outs_p, axis=0) if p is not None else None)
 
 
 def stage(k, p, j, box, lane, row, use_gather=True):
@@ -168,8 +178,10 @@ def flip_odd_runs(k, p, run_rows, use_gather=True):
     alternating asc/desc pattern the network expects at box = 2*run)."""
     lane, row = _iotas(k.shape)
     fk = reverse_runs(k, run_rows, lane, row, use_gather)
-    fp = reverse_runs(p, run_rows, lane, row, use_gather)
     odd = ((row // run_rows) & 1) == 1
+    if p is None:
+        return jnp.where(odd, fk, k), None
+    fp = reverse_runs(p, run_rows, lane, row, use_gather)
     return jnp.where(odd, fk, k), jnp.where(odd, fp, p)
 
 
@@ -232,17 +244,17 @@ def _stage_slice_masked(k, p, jr, want_hi_of):
     outs_k, outs_p = [], []
     for c0 in range(0, w, 2 * jr):
         ak, bk = k[c0:c0 + jr], k[c0 + jr:c0 + 2 * jr]
-        ap, bp = p[c0:c0 + jr], p[c0 + jr:c0 + 2 * jr]
         want_hi_low = want_hi_of(c0, jr)
         # lower half wants hi => take partner if partner > self
         take_a = (want_hi_low ^ (bk < ak)) & (ak != bk)
         a2k = jnp.where(take_a, bk, ak)
-        a2p = jnp.where(take_a, bp, ap)
         b2k = jnp.where(take_a, ak, bk)
-        b2p = jnp.where(take_a, ap, bp)
         outs_k += [a2k, b2k]
-        outs_p += [a2p, b2p]
-    return jnp.concatenate(outs_k, axis=0), jnp.concatenate(outs_p, axis=0)
+        if p is not None:
+            ap, bp = p[c0:c0 + jr], p[c0 + jr:c0 + 2 * jr]
+            outs_p += [jnp.where(take_a, bp, ap), jnp.where(take_a, ap, bp)]
+    return (jnp.concatenate(outs_k, axis=0),
+            jnp.concatenate(outs_p, axis=0) if p is not None else None)
 
 
 def _stage_T(k, p, j, box, n, row, lane):
@@ -257,13 +269,15 @@ def _stage_T(k, p, j, box, n, row, lane):
     if j < 8:
         # sublane roll pair; upper = row bit, desc = box bit (any class)
         pk = _row_xor(k, j, row)
-        pp = _row_xor(p, j, row)
         upper = _bitmask_T(jb, row, lane)
         if box >= n:
             want_hi = upper
         else:
             want_hi = upper ^ _bitmask_T(bb, row, lane)
         take = (want_hi ^ (pk < k)) & (pk != k)
+        if p is None:
+            return jnp.where(take, pk, k), None
+        pp = _row_xor(p, j, row)
         return jnp.where(take, pk, k), jnp.where(take, pp, p)
     jr = j if j < 128 else j >> 7  # row stride
     if box >= n:
@@ -314,17 +328,21 @@ def run_network_hybrid(k, p, stages, start_layout, end_layout="N"):
     n = w * LANES
     lane, row = _iotas(k.shape)
     layout = start_layout
+
+    def _nt(a, b):
+        return nt_transpose(a), (nt_transpose(b) if b is not None else None)
+
     for box, j in stages:
         pref = _pref_layout(j) or layout
         if pref != layout:
-            k, p = nt_transpose(k), nt_transpose(p)
+            k, p = _nt(k, p)
             layout = pref
         if layout == "T":
             k, p = _stage_T(k, p, j, box, n, row, lane)
         else:
             k, p = stage(k, p, j, min(box, n), lane, row, True)
     if layout != end_layout:
-        k, p = nt_transpose(k), nt_transpose(p)
+        k, p = _nt(k, p)
     return k, p
 
 
@@ -406,6 +424,36 @@ def propagate_last_r_split(k, p):
         d *= 2
     take = car_ck > ck
     return jnp.where(take, car_ck, ck), jnp.where(take, car_cp, cp)
+
+
+def propagate_last_r_key(k):
+    """Keys-only propagate_last_r_split: the largest preceding-or-equal R
+    packed key per element (-1 where none).  The count join needs only this
+    — matches = #(S elements whose ck == k-1) — so no payload lanes move
+    (reference count path likewise accumulates matches only,
+    radix_join.cpp:428-447)."""
+    w = k.shape[0]
+    lane, row = _iotas(k.shape)
+    is_r = (k & 1) == 0
+    valid = k != KEY_PAD_INT
+    ck = jnp.where(is_r & valid, k, -1)
+    d = 1
+    while d < LANES:
+        sck = jnp.where(lane >= d, pltpu.roll(ck, d, axis=1), -1)
+        ck = jnp.maximum(sck, ck)
+        d *= 2
+    row_ck = ck[:, LANES - 1:LANES]
+    rrow = row[:, :1]
+
+    def shift_rows(x, dd, fill):
+        return jnp.where(rrow >= dd, pltpu.roll(x, dd, axis=0), fill)
+
+    car_ck = shift_rows(row_ck, 1, jnp.int32(-1))
+    d = 1
+    while d < w:
+        car_ck = jnp.maximum(shift_rows(car_ck, d, jnp.int32(-1)), car_ck)
+        d *= 2
+    return jnp.maximum(car_ck, ck)
 
 
 def propagate_last_r(k, p):

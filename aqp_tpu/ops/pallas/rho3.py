@@ -48,6 +48,7 @@ from aqp_tpu.ops.pallas.netsort import (
     LANES,
     merge_runs,
     merge_runs_hybrid,
+    propagate_last_r_key,
     propagate_last_r_split,
     sort_pairs,
     sort_pairs_hybrid,
@@ -124,7 +125,8 @@ def _extract_slots(k, p, k_scr, p_scr, loc_of, nslots, slot_rows, out_k,
     slot stays an ascending sorted run (merge_runs precondition): smaller
     buckets -> KEY_PAD_LOW (sorts first), larger -> KEY_PAD_INT (last)."""
     k_scr[:] = k
-    p_scr[:] = p
+    if p is not None:
+        p_scr[:] = p
     lead = k[:, :1]                      # per-row min (rows sorted)
     b_lead = loc_of(lead)                # (rows, 1) nondecreasing
     total_ovf = jnp.int32(0)
@@ -134,11 +136,12 @@ def _extract_slots(k, p, k_scr, p_scr, loc_of, nslots, slot_rows, out_k,
         row0 = jnp.clip(c_lt - 1, 0, block_rows - slot_rows)
         total_ovf += jnp.maximum(e_f - row0 - slot_rows, 0)
         sk = k_scr[pl.ds(row0, slot_rows), :]
-        sp = p_scr[pl.ds(row0, slot_rows), :]
         loc = loc_of(sk)
         out_k[prefix + (f,)] = jnp.where(
             loc == f, sk, jnp.where(loc < f, KEY_PAD_LOW, KEY_PAD_INT))
-        out_p[prefix + (f,)] = jnp.where(loc == f, sp, 0)
+        if p is not None:
+            sp = p_scr[pl.ds(row0, slot_rows), :]
+            out_p[prefix + (f,)] = jnp.where(loc == f, sp, 0)
     ovf_ref[0, 0] += total_ovf
 
 
@@ -182,23 +185,32 @@ def _extract_slots_mxu(k, p, loc_of, nslots, slot_rows, out_k, out_p,
         return ((y[:, 0:L] & 0xFF) | ((y[:, L:2 * L] & 0xFF) << 8)
                 | ((y[:, 2 * L:3 * L] & 0xFF) << 16) | (y[:, 3 * L:] << 24))
 
-    gk, gp = g(k), g(p)
+    gk = g(k)
     f_col = f_o[:, :LANES]
     loc = loc_of(gk)
     mk = jnp.where(loc == f_col, gk,
                    jnp.where(loc < f_col, KEY_PAD_LOW, KEY_PAD_INT))
-    mp = jnp.where(loc == f_col, gp, 0)
     out_k[prefix] = mk.reshape(out_k.shape[len(prefix):])
-    out_p[prefix] = mp.reshape(out_p.shape[len(prefix):])
+    if p is not None:
+        gp = g(p)
+        mp = jnp.where(loc == f_col, gp, 0)
+        out_p[prefix] = mp.reshape(out_p.shape[len(prefix):])
 
 
 # ---------------------------------------------------------------------------
 # K1: block sort + level-1 slot emit
 
-def _make_k1(prm: Rho3Params, gmax: int, use_gather: bool):
+def _make_k1(prm: Rho3Params, gmax: int, use_gather: bool,
+             with_payload: bool = True):
     hybrid = prm.block_rows % LANES == 0
 
-    def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, ovf_ref, *scr):
+    def kernel(scale_ref, *refs):
+        if with_payload:
+            k_ref, p_ref, ok_ref, op_ref, ovf_ref, *scr = refs
+        else:
+            k_ref, ok_ref, ovf_ref, *scr = refs
+            p_ref = op_ref = None
+
         @pl.when(pl.program_id(0) == 0)
         def _():
             ovf_ref[0, 0] = jnp.int32(0)
@@ -208,13 +220,15 @@ def _make_k1(prm: Rho3Params, gmax: int, use_gather: bool):
         def loc_of(x):
             return _fine_bucket(x, scale, gmax) // prm.f2
 
+        pin = p_ref[:] if with_payload else None
         if hybrid:
-            k, p = sort_pairs_hybrid(k_ref[:], p_ref[:])
+            k, p = sort_pairs_hybrid(k_ref[:], pin)
             _extract_slots_mxu(k, p, loc_of, prm.f1, prm.slot_rows,
                                ok_ref, op_ref, ovf_ref, prm.block_rows, (0,))
         else:
-            k, p = sort_pairs(k_ref[:], p_ref[:], use_gather=use_gather)
-            _extract_slots(k, p, scr[0], scr[1], loc_of, prm.f1,
+            k, p = sort_pairs(k_ref[:], pin, use_gather=use_gather)
+            _extract_slots(k, p, scr[0], scr[1] if with_payload else None,
+                           loc_of, prm.f1,
                            prm.slot_rows, ok_ref, op_ref, ovf_ref,
                            prm.block_rows, (0,))
 
@@ -224,11 +238,18 @@ def _make_k1(prm: Rho3Params, gmax: int, use_gather: bool):
 # ---------------------------------------------------------------------------
 # K2: merge level-1 region window + fine slot emit
 
-def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
+def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool,
+             with_payload: bool = True):
     w = prm.block_rows  # group * slot_rows
     hybrid = w % LANES == 0
 
-    def kernel(scale_ref, k_ref, p_ref, ok_ref, op_ref, ovf_ref, *scr):
+    def kernel(scale_ref, *refs):
+        if with_payload:
+            k_ref, p_ref, ok_ref, op_ref, ovf_ref, *scr = refs
+        else:
+            k_ref, ok_ref, ovf_ref, *scr = refs
+            p_ref = op_ref = None
+
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _():
             ovf_ref[0, 0] = jnp.int32(0)
@@ -236,7 +257,7 @@ def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
         scale = scale_ref[0]
         f1_idx = pl.program_id(0)
         k = k_ref[:].reshape(w, LANES)
-        p = p_ref[:].reshape(w, LANES)
+        p = p_ref[:].reshape(w, LANES) if with_payload else None
         if hybrid:
             k, p = merge_runs_hybrid(k, p, prm.slot_rows,
                                      use_gather=use_gather)
@@ -256,7 +277,8 @@ def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
             _extract_slots_mxu(k, p, loc_of, prm.f2, prm.kd_slot_rows,
                                ok_ref, op_ref, ovf_ref, w, (0, 0))
         else:
-            _extract_slots(k, p, scr[0], scr[1], loc_of, prm.f2,
+            _extract_slots(k, p, scr[0], scr[1] if with_payload else None,
+                           loc_of, prm.f2,
                            prm.kd_slot_rows, ok_ref, op_ref, ovf_ref, w,
                            (0, 0))
 
@@ -266,29 +288,42 @@ def _make_k2(prm: Rho3Params, gmax: int, use_gather: bool):
 # ---------------------------------------------------------------------------
 # K3: region merge + propagate join (count + checksum)
 
-def _make_k3(prm: Rho3Params, nbg: int, use_gather: bool):
+def _make_k3(prm: Rho3Params, nbg: int, use_gather: bool,
+             with_payload: bool = True):
     w = nbg * prm.kd_slot_rows
     hybrid = w % LANES == 0
 
-    def kernel(k_ref, p_ref, m_ref, c_ref):
+    def kernel(*refs):
+        if with_payload:
+            k_ref, p_ref, m_ref, c_ref = refs
+        else:
+            k_ref, m_ref, c_ref = refs
+            p_ref = None
+
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _():
             m_ref[0, 0] = jnp.int32(0)
             c_ref[0, 0] = jnp.int32(0)
 
         k = k_ref[:].reshape(w, LANES)
-        p = p_ref[:].reshape(w, LANES)
+        p = p_ref[:].reshape(w, LANES) if with_payload else None
         if hybrid:
             k, p = merge_runs_hybrid(k, p, prm.kd_slot_rows,
                                      use_gather=use_gather)
         else:
             k, p = merge_runs(k, p, prm.kd_slot_rows, use_gather=use_gather)
-        ck, cp = propagate_last_r_split(k, p)
-        match = ((k & 1) == 1) & (k != KEY_PAD_INT) & (ck == k - 1)
-        m_ref[0, 0] += jnp.sum(match, dtype=jnp.int32)
-        # mod-2^32 checksum in int32 two's-complement (no unsigned
-        # reductions in Mosaic); caller bitcasts to uint32
-        c_ref[0, 0] += jnp.sum(jnp.where(match, cp + p, 0), dtype=jnp.int32)
+        if with_payload:
+            ck, cp = propagate_last_r_split(k, p)
+            match = ((k & 1) == 1) & (k != KEY_PAD_INT) & (ck == k - 1)
+            m_ref[0, 0] += jnp.sum(match, dtype=jnp.int32)
+            # mod-2^32 checksum in int32 two's-complement (no unsigned
+            # reductions in Mosaic); caller bitcasts to uint32
+            c_ref[0, 0] += jnp.sum(
+                jnp.where(match, cp + p, 0), dtype=jnp.int32)
+        else:
+            ck = propagate_last_r_key(k)
+            match = ((k & 1) == 1) & (k != KEY_PAD_INT) & (ck == k - 1)
+            m_ref[0, 0] += jnp.sum(match, dtype=jnp.int32)
 
     return kernel
 
@@ -340,10 +375,12 @@ def _modinv_pow2(salt, bits=30):
 
 
 def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
-                      interpret: bool):
+                      interpret: bool, with_payload: bool = True):
     """Shared K1+K2 front end: pack, pad, two-level fixed-slot partition.
 
-    Returns (k2, p2, nbg, ovf, alias)."""
+    Returns (k2, p2, nbg, ovf, alias); p2 is None when with_payload=False
+    (count-only pipeline: no payload lanes move — matches the reference
+    count path, which never reads payloads, radix_join.cpp:428-447)."""
     use_gather = not interpret
     block = prm.block_rows * LANES
     cmul = jnp.int32(salt)
@@ -352,7 +389,6 @@ def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
     packed = (sig << 1) | tag
     # the one key with sigma == 2^30-1 aliases the pad encoding: report
     alias = jnp.sum((sig == HASH_MASK).astype(jnp.int32), dtype=jnp.int32)
-    pay = jnp.concatenate([rp, sp])
     n = packed.shape[0]
     nb = max(-(-n // block), prm.group)
     nb = _next_pow2(nb)
@@ -361,109 +397,119 @@ def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
     if padn:
         packed = jnp.concatenate(
             [packed, jnp.full((padn,), KEY_PAD_INT, jnp.int32)])
-        pay = jnp.concatenate([pay, jnp.zeros((padn,), jnp.int32)])
     gmax = prm.f1 * prm.f2
     scale = jnp.float32(gmax / (1 << 30) * (1.0 - 1e-6))
 
     kw = packed.reshape(nb * prm.block_rows, LANES)
-    pw = pay.reshape(nb * prm.block_rows, LANES)
+    if with_payload:
+        pay = jnp.concatenate([rp, sp])
+        if padn:
+            pay = jnp.concatenate([pay, jnp.zeros((padn,), jnp.int32)])
+        pw = pay.reshape(nb * prm.block_rows, LANES)
 
     # dynamic-slice extraction (non-hybrid small geometries) stages the
     # sorted window in VMEM scratch; the MXU path needs none
     hybrid = prm.block_rows % LANES == 0
+    nscr = 2 if with_payload else 1
     scratch = [] if hybrid else [
-        pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
-        pltpu.VMEM((prm.block_rows, LANES), jnp.int32),
-    ]
+        pltpu.VMEM((prm.block_rows, LANES), jnp.int32)] * nscr
+    narr = 2 if with_payload else 1
 
     # ---- K1
+    slot_spec = pl.BlockSpec((1, prm.f1, prm.slot_rows, LANES),
+                             lambda i, s: (i, 0, 0, 0))
+    slot_shape = jax.ShapeDtypeStruct(
+        (nb, prm.f1, prm.slot_rows, LANES), jnp.int32)
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[pl.BlockSpec((prm.block_rows, LANES),
-                               lambda i, s: (i, 0))] * 2,
-        out_specs=[
-            pl.BlockSpec((1, prm.f1, prm.slot_rows, LANES),
-                         lambda i, s: (i, 0, 0, 0)),
-            pl.BlockSpec((1, prm.f1, prm.slot_rows, LANES),
-                         lambda i, s: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+                               lambda i, s: (i, 0))] * narr,
+        out_specs=[slot_spec] * narr + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=list(scratch),
     )
-    k1, p1, ovf1 = pl.pallas_call(
-        _make_k1(prm, gmax, use_gather),
+    out1 = pl.pallas_call(
+        _make_k1(prm, gmax, use_gather, with_payload),
         grid_spec=grid1,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, prm.f1, prm.slot_rows, LANES),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((nb, prm.f1, prm.slot_rows, LANES),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
+        out_shape=[slot_shape] * narr + [
+            jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         interpret=interpret,
-    )(scale.reshape(1), kw, pw)
+    )(scale.reshape(1), *((kw, pw) if with_payload else (kw,)))
+    if with_payload:
+        k1, p1, ovf1 = out1
+    else:
+        k1, ovf1 = out1
+        p1 = None
 
     # ---- K2: window = (group blocks) x (bucket f1): static index map
     nbg = nb // prm.group
+    fine_spec = pl.BlockSpec((1, 1, prm.f2, prm.kd_slot_rows, LANES),
+                             lambda f, g, s: (f, g, 0, 0, 0))
+    fine_shape = jax.ShapeDtypeStruct(
+        (prm.f1, nbg, prm.f2, prm.kd_slot_rows, LANES), jnp.int32)
     grid2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(prm.f1, nbg),
         in_specs=[pl.BlockSpec(
             (prm.group, 1, prm.slot_rows, LANES),
-            lambda f, g, s: (g, f, 0, 0))] * 2,
-        out_specs=[
-            pl.BlockSpec((1, 1, prm.f2, prm.kd_slot_rows, LANES),
-                         lambda f, g, s: (f, g, 0, 0, 0)),
-            pl.BlockSpec((1, 1, prm.f2, prm.kd_slot_rows, LANES),
-                         lambda f, g, s: (f, g, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+            lambda f, g, s: (g, f, 0, 0))] * narr,
+        out_specs=[fine_spec] * narr + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=list(scratch),
     )
-    k2, p2, ovf2 = pl.pallas_call(
-        _make_k2(prm, gmax, use_gather),
+    out2 = pl.pallas_call(
+        _make_k2(prm, gmax, use_gather, with_payload),
         grid_spec=grid2,
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (prm.f1, nbg, prm.f2, prm.kd_slot_rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct(
-                (prm.f1, nbg, prm.f2, prm.kd_slot_rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
+        out_shape=[fine_shape] * narr + [
+            jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         interpret=interpret,
-    )(scale.reshape(1), k1, p1)
+    )(scale.reshape(1), *((k1, p1) if with_payload else (k1,)))
+    if with_payload:
+        k2, p2, ovf2 = out2
+    else:
+        k2, ovf2 = out2
+        p2 = None
     return k2, p2, nbg, ovf1[0, 0] + ovf2[0, 0], alias
 
 
-@functools.partial(jax.jit, static_argnames=("prm", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("prm", "interpret", "with_checksum"))
 def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
-                      salt: int = HASH_C, interpret: bool = False):
+                      salt: int = HASH_C, interpret: bool = False,
+                      with_checksum: bool = True):
     """Fused two-level fixed-slot Pallas RHO count join.
 
     Returns (matches, checksum, overflow).  overflow > 0 => result invalid
     (slot overflow under duplicate-key skew, or a pad-aliasing key);
     callers fall back to the XLA core or retry with another odd `salt`.
     Exact for unique R keys <= MAX_KEY.
+
+    with_checksum=False runs the KEYS-ONLY pipeline: no payload lanes move
+    through any network stage, extraction matmul, or HBM hop (the
+    reference's count path likewise never touches payloads,
+    radix_join.cpp:428-447); checksum returns as uint32(0).  This is the
+    headline serving/bench configuration — ~1.7x the checksummed path.
     """
     use_gather = not interpret
     k2, p2, nbg, ovf, alias = _partition_2level(
-        rk, rp, sk, sp, prm, salt, interpret)
+        rk, rp, sk, sp, prm, salt, interpret, with_payload=with_checksum)
 
+    narr = 2 if with_checksum else 1
     # ---- K3: region (f1, f2) = all nbg windows' slot f2: static index map
     m, c = pl.pallas_call(
-        _make_k3(prm, nbg, use_gather),
+        _make_k3(prm, nbg, use_gather, with_checksum),
         grid=(prm.f1, prm.f2),
         in_specs=[pl.BlockSpec(
             (1, nbg, 1, prm.kd_slot_rows, LANES),
-            lambda a, b: (a, 0, b, 0, 0))] * 2,
+            lambda a, b: (a, 0, b, 0, 0))] * narr,
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(k2, p2)
+    )(*((k2, p2) if with_checksum else (k2,)))
 
     return (m[0, 0], c[0, 0].astype(jnp.uint32), ovf + alias)
 

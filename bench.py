@@ -1,23 +1,32 @@
 """Headline benchmark: RHO-style radix join on the reference workload.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Prints the headline JSON line
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+as soon as the count metric exists (the driver's capture contract — the
+analog of the reference harness's always-parseable stdout metric lines,
+SGXv2Scripts/scripts/helpers/runner.py:14-55).  Extra metrics (materialized
+join, scan bandwidth, aggregate pipeline) are appended under a wall-clock
+budget (env BENCH_BUDGET_S); when they all land, one final merged JSON line
+is printed so the headline is valid whether the harness reads the first or
+the last line.  Per-stage progress goes to stderr only.
 
 Workload matches the reference's headline row (BASELINE.md): R⋈S =
 100 MB⋈400 MB = 13.1M⋈52.4M (u32 key, u32 payload) tuples, dense-PK R,
 tiled-FK S; baseline RHO native 16-thread = 1491 M input-rows/s.
 Throughput contract identical: (|R|+|S|) / join_seconds / 1e6.
 
-Methodology: this environment has ~25-30 ms fixed dispatch overhead per
-device call (notes/probe_*.py), so timings use best-of-N with the overhead
-measured and subtracted, and the scan benchmark amortizes over an in-jit
-repetition loop.
+Timing methodology: this environment has ~25-40 ms host→device dispatch
+latency per call (notes/probe_*.py), so each metric is timed as an
+ASYNC-PIPELINED loop — N calls issued back-to-back with a single scalar
+fetch at the end — which overlaps dispatch with device execution instead of
+subtracting a separately-measured (and drifting) overhead estimate.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 # Pallas bitonic blocks at sub>=1024 need the scoped-VMEM raise; must be set
@@ -35,88 +44,84 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-BASELINE_RHO_MROWS = 1491.0
-BASELINE_SCAN_GBS = 113.7
+BASELINE_RHO_MROWS = 1491.0       # data/intro.csv, RHO native UNROLL
+BASELINE_RHO_MAT_MROWS = 721.0    # data/slow-malloc.csv, CHUNKED_TABLE
+BASELINE_SCAN_GBS = 113.7         # data/scale-up.csv, 16 threads
+
+T0 = time.monotonic()
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "270"))
 
 
-def _sync(x):
-    jax.block_until_ready(x)
-    return x
+def remaining() -> float:
+    return BUDGET - (time.monotonic() - T0)
 
 
-def measure_overhead():
-    tiny = jnp.zeros((8,), jnp.int32)
-    f = jax.jit(lambda x: jnp.sum(x))
-    int(f(tiny))
+def log(msg: str) -> None:
+    print(f"[bench {time.monotonic() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def time_async(fn, reps: int) -> float:
+    """Mean seconds/call over an async-pipelined loop (one warm call first;
+    one scalar fetch at the end forces the full queue)."""
+    out = fn()
+    jax.block_until_ready(out)
+    int(out[0])  # also warms the scalar-fetch path outside the timed region
     t0 = time.perf_counter()
-    reps = 5
     for _ in range(reps):
-        int(f(tiny))
+        out = fn()
+    # block_until_ready alone has been observed not to block on this
+    # platform; force a real device->host scalar round trip.
+    int(out[0])
     return (time.perf_counter() - t0) / reps
 
 
-def bench_join(nr, ns, overhead):
-    from aqp_tpu.data import create_relation_pk, create_relation_fk
-    from aqp_tpu.engine import rho_join_count_fused
+def bench_join(nr, ns, rk, rp, sk, sp, reps):
+    """Headline: keys-only fused Pallas RHO count join (the reference count
+    path moves no payloads either, radix_join.cpp:428-447)."""
+    from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3
 
-    relR = create_relation_pk(nr, seed=11111)
-    relS = create_relation_fk(ns, nr, seed=22222)
-    _sync((relR.key, relS.key))
+    def f():
+        return rho_join_count_v3(rk, rp, sk, sp, with_checksum=False)
 
-    m, c, ovf = rho_join_count_fused(
-        relR.key, relR.payload, relS.key, relS.payload
-    )
+    m, _, ovf = f()
     matches, overflow = int(m), int(ovf)
+    log(f"count join first call done: matches={matches}")
     assert overflow == 0, f"region overflow on oracle workload: {overflow}"
     assert matches == ns, f"wrong join cardinality: {matches} != {ns}"
-    best = float("inf")
-    for _ in range(8):
-        t0 = time.perf_counter()
-        m, c, ovf = rho_join_count_fused(
-            relR.key, relR.payload, relS.key, relS.payload
-        )
-        # force a true device round trip (block_until_ready alone has been
-        # observed not to block on this platform)
-        int(m)
-        best = min(best, time.perf_counter() - t0)
-    t = max(best - overhead, 1e-6)
+    t = time_async(f, reps)
     return (nr + ns) / t / 1e6, t, matches
 
 
-def bench_join_materialize(nr, ns, overhead):
+def bench_join_materialize(nr, ns, rk, rp, sk, sp, reps):
     """Materialized RHO throughput (reference: 721 M rec/s with
     CHUNKED_TABLE, data/slow-malloc.csv).  Output = region-chunked columns
-    (chunked-table analog); correctness asserted via count + spot checksum."""
-    from aqp_tpu.data import create_relation_pk, create_relation_fk
+    (chunked-table analog); count asserted, full-output multiset equality
+    lives in the TPU test pass (tests/test_tpu.py)."""
     from aqp_tpu.engine import rho_join_materialize_fused
 
-    relR = create_relation_pk(nr, seed=11111)
-    relS = create_relation_fk(ns, nr, seed=22222)
-    _sync((relR.key, relS.key))
+    def f():
+        return rho_join_materialize_fused(rk, rp, sk, sp)
 
-    m, c, ok, orp, osp, ovf = rho_join_materialize_fused(
-        relR.key, relR.payload, relS.key, relS.payload)
-    assert int(ovf) == 0 and int(m) == ns, (int(m), int(ovf))
-    # output sanity: number of non-sentinel rows equals matches
-    live = int(jnp.sum((ok != -3).astype(jnp.int64)))
-    assert live == ns, (live, ns)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = rho_join_materialize_fused(
-            relR.key, relR.payload, relS.key, relS.payload)
-        int(out[0])
-        best = min(best, time.perf_counter() - t0)
-    t = max(best - overhead, 1e-6)
-    return (nr + ns) / t / 1e6
+    out = f()
+    assert int(out[5]) == 0 and int(out[0]) == ns, (int(out[0]), int(out[5]))
+    log("materialize first call done")
+    if os.environ.get("BENCH_VERIFY") == "1":
+        live = int(jnp.sum((out[2] != -3).astype(jnp.int64)))
+        assert live == ns, (live, ns)
+    t = time_async(f, reps)
+    return (nr + ns) / t / 1e6, out
 
 
-def bench_scan(n, overhead):
+def bench_scan(n, reps):
+    """Predicate-scan bandwidth: K in-jit passes per dispatch (compute-bound
+    count mode; the write-producing modes are benched by
+    experiments/scan_bench.py)."""
     from aqp_tpu.ops.scan import range_mask
 
     col = (jnp.arange(n, dtype=jnp.int32) & 255).astype(jnp.uint8)
-    _sync(col)
-    K = 16
+    jax.block_until_ready(col)
+    K = 32
 
     @jax.jit
     def f(c):
@@ -126,13 +131,32 @@ def bench_scan(n, overhead):
                 range_mask(c, lo, jnp.uint8(200)).astype(jnp.int32),
                 dtype=jnp.int32,
             )
-        return jax.lax.fori_loop(0, K, it, jnp.int32(0))
+        return (jax.lax.fori_loop(0, K, it, jnp.int32(0)),)
 
-    int(f(col))
-    t0 = time.perf_counter()
-    int(f(col))
-    dt = max((time.perf_counter() - t0 - overhead) / K, 1e-9)
-    return n / dt / 1e9  # GB/s (1 byte per row)
+    int(f(col)[0])
+    log("scan compiled")
+    t = time_async(lambda: f(col), reps)
+    return K * n / t / 1e9  # GB/s (1 byte per row per pass)
+
+
+def bench_aggregate(ns, mat, reps):
+    """North-star config 3: hash aggregate (group-by) over the materialized
+    join output (BASELINE.json configs[3]).  Input = the region-chunked
+    output columns (sentinel holes group under key -3); throughput counted
+    over the live rows only (conservative)."""
+    from aqp_tpu.ops.aggregate import groupby_aggregate
+
+    key, spay = mat[2], mat[4]
+    cap = 1 << 21
+
+    def f():
+        return groupby_aggregate(key, spay, cap)
+
+    g = f()
+    int(g.num_groups)
+    log("aggregate compiled")
+    t = time_async(f, reps)
+    return ns / t / 1e6
 
 
 def main():
@@ -140,26 +164,17 @@ def main():
     nr = (1 << 17) if small else 13_107_200
     ns = (1 << 19) if small else 52_428_800
 
-    overhead = measure_overhead()
-    extras = {"dispatch_overhead_ms": round(overhead * 1e3, 1)}
+    log(f"budget={BUDGET}s devices={jax.devices()}")
+    from aqp_tpu.data import create_relation_pk, create_relation_fk
 
-    mrows, t, matches = bench_join(nr, ns, overhead)
+    relR = create_relation_pk(nr, seed=11111)
+    relS = create_relation_fk(ns, nr, seed=22222)
+    rk, rp, sk, sp = relR.key, relR.payload, relS.key, relS.payload
+    jax.block_until_ready((rk, sk))
+    log("relations generated")
 
-    try:
-        mat = bench_join_materialize(nr, ns, overhead)
-        extras["materialize_mrows"] = round(mat, 1)
-        # reference materialized RHO = 721 M rec/s (data/slow-malloc.csv)
-        extras["materialize_vs_baseline"] = round(mat / 721.0, 2)
-    except Exception as e:  # pragma: no cover
-        extras["materialize_error"] = str(e)[:120]
-
-    try:
-        gbs = bench_scan((1 << 20) if small else (1 << 28), overhead)
-        extras["scan_gbs"] = round(gbs, 1)
-        extras["scan_vs_baseline"] = round(gbs / BASELINE_SCAN_GBS, 2)
-    except Exception as e:  # pragma: no cover
-        extras["scan_error"] = str(e)[:120]
-
+    reps = 3 if small else 6
+    mrows, t, matches = bench_join(nr, ns, rk, rp, sk, sp, reps)
     line = {
         "metric": "RHO join throughput (13.1M x 52.4M, 1 chip)",
         "value": round(mrows, 1),
@@ -167,9 +182,60 @@ def main():
         "vs_baseline": round(mrows / BASELINE_RHO_MROWS, 3),
         "join_seconds": round(t, 4),
         "matches": matches,
-        **extras,
     }
-    print(json.dumps(line))
+    # headline out the door before any extra is attempted
+    print(json.dumps(line), flush=True)
+    log(f"headline: {mrows:.0f} M rows/s ({mrows / BASELINE_RHO_MROWS:.2f}x)")
+
+    extras = {}
+
+    def save_extras():
+        try:
+            with open("BENCH_extras.json", "w") as fh:
+                json.dump({**line, **extras}, fh)
+        except OSError:
+            pass
+
+    mat = None
+    if remaining() > 45:
+        try:
+            matm, mat = bench_join_materialize(nr, ns, rk, rp, sk, sp, 2)
+            extras["materialize_mrows"] = round(matm, 1)
+            extras["materialize_vs_baseline"] = round(
+                matm / BASELINE_RHO_MAT_MROWS, 2)
+        except Exception as e:  # pragma: no cover
+            extras["materialize_error"] = str(e)[:120]
+        save_extras()
+        log(f"materialize: {extras}")
+    else:
+        log("skipping materialize (budget)")
+
+    if remaining() > 30:
+        try:
+            gbs = bench_scan((1 << 20) if small else (1 << 28), 2)
+            extras["scan_gbs"] = round(gbs, 1)
+            extras["scan_vs_baseline"] = round(gbs / BASELINE_SCAN_GBS, 2)
+        except Exception as e:  # pragma: no cover
+            extras["scan_error"] = str(e)[:120]
+        save_extras()
+        log(f"scan: {extras.get('scan_gbs')} GB/s")
+    else:
+        log("skipping scan (budget)")
+
+    if mat is not None and remaining() > 30:
+        try:
+            agg = bench_aggregate(ns, mat, 2)
+            extras["aggregate_mrows"] = round(agg, 1)
+        except Exception as e:  # pragma: no cover
+            extras["aggregate_error"] = str(e)[:120]
+        save_extras()
+        log(f"aggregate: {extras.get('aggregate_mrows')} M rows/s")
+    else:
+        log("skipping aggregate (budget or no materialized output)")
+
+    # final merged line: same headline metric/value, extras attached —
+    # valid whether the harness parses the first or the last JSON line.
+    print(json.dumps({**line, **extras}), flush=True)
 
 
 if __name__ == "__main__":
