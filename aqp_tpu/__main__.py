@@ -22,6 +22,33 @@ import sys
 import time
 
 
+def _profile_ctx(args):
+    """(context manager, logdir|None) for --profile: captures a
+    jax.profiler trace around the measured section (PerfEvent analog,
+    utils/profiler.py)."""
+    logdir = getattr(args, "profile", None)
+    if logdir:
+        from aqp_tpu.utils import profiler
+
+        return profiler.trace(logdir), logdir
+    import contextlib
+
+    return contextlib.nullcontext(), None
+
+
+def _profile_extras(logdir):
+    if not logdir:
+        return {}
+    from aqp_tpu.utils import profiler
+
+    rep = profiler.parse_trace(logdir)
+    print(f"# profile: device {rep.device_total_s*1e3:.2f} ms over "
+          f"{sum(rep.per_program_calls.values())} program executions "
+          f"-> {logdir}", file=sys.stderr)
+    return {"device_total_s": round(rep.device_total_s, 6),
+            "profile_dir": logdir}
+
+
 def _dataset_sizes(name: str):
     # commons.cpp:85-97 predefined datasets (rows of 8-byte tuples)
     if name == "cache-fit":
@@ -61,14 +88,18 @@ def cmd_join(args):
         use_pallas=not args.no_pallas,
     )
     best = None
-    for rep in range(args.reps):
-        result, t = run_join(relR, relS, args.a, cfg)
-        if best is None or t.total < best.total:
-            best = t
-        if not args.quiet:
-            print(f"# rep {rep}: {t.mrows_per_s:.1f} M rows/s", file=sys.stderr)
+    ctx, logdir = _profile_ctx(args)
+    with ctx:
+        for rep in range(args.reps):
+            result, t = run_join(relR, relS, args.a, cfg)
+            if best is None or t.total < best.total:
+                best = t
+            if not args.quiet:
+                print(f"# rep {rep}: {t.mrows_per_s:.1f} M rows/s",
+                      file=sys.stderr)
     best.print_contract()
-    print(best.json_line(alg=args.a, size_r=nr, size_s=ns))
+    print(best.json_line(alg=args.a, size_r=nr, size_s=ns,
+                         **_profile_extras(logdir)))
 
 
 def cmd_tpch(args):
@@ -110,14 +141,17 @@ def cmd_tpch(args):
         m, ok = fn()  # compile + correctness
         assert bool(ok), "fused capacity bound exceeded; rerun without --fused"
         best = 1e30
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            m, ok = fn()
-            int(m)
-            best = min(best, time.perf_counter() - t0)
+        ctx, logdir = _profile_ctx(args)
+        with ctx:
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                m, ok = fn()
+                int(m)
+                best = min(best, time.perf_counter() - t0)
         t = Timings(phases={"total": best}, rows_in=rows_in, matches=int(m))
         t.print_contract()
-        print(t.json_line(query=f"Q{args.q}", alg="fused", scale=args.scale))
+        print(t.json_line(query=f"Q{args.q}", alg="fused", scale=args.scale,
+                          **_profile_extras(logdir)))
         return
     plans = {
         3: lambda: tpch_q3(c, o, l, algorithm=args.a),
@@ -128,12 +162,16 @@ def cmd_tpch(args):
     if args.q not in plans:
         raise SystemExit(f"query must be one of {sorted(plans)}")
     best = None
-    for _ in range(args.reps):
-        res = plans[args.q]()
-        if best is None or res.timings.total < best.timings.total:
-            best = res
+    ctx, logdir = _profile_ctx(args)
+    with ctx:
+        for _ in range(args.reps):
+            res = plans[args.q]()
+            if best is None or res.timings.total < best.timings.total:
+                best = res
     best.timings.print_contract()
-    print(best.timings.json_line(query=f"Q{args.q}", alg=args.a, scale=args.scale))
+    print(best.timings.json_line(query=f"Q{args.q}", alg=args.a,
+                                 scale=args.scale,
+                                 **_profile_extras(logdir)))
 
 
 def cmd_scan(args):
@@ -164,13 +202,16 @@ def cmd_scan(args):
     out = fns[mode]()
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fns[mode]())
-        best = min(best, time.perf_counter() - t0)
+    ctx, logdir = _profile_ctx(args)
+    with ctx:
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fns[mode]())
+            best = min(best, time.perf_counter() - t0)
     gbs = n / best / 1e9
     print(json.dumps({"mode": mode, "rows": n, "selectivity": args.selectivity,
-                      "seconds": round(best, 6), "gb_per_s": round(gbs, 2)}))
+                      "seconds": round(best, 6), "gb_per_s": round(gbs, 2),
+                      **_profile_extras(logdir)}))
 
 
 def cmd_matrix(args):
@@ -224,6 +265,8 @@ def main(argv=None):
     j.add_argument("--seed-r", type=int, default=11111)
     j.add_argument("--seed-s", type=int, default=22222)
     j.add_argument("--quiet", action="store_true")
+    j.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace (PerfEvent analog)")
     j.set_defaults(fn=cmd_join)
 
     t = sub.add_parser("tpch", help="TPC-H query run (TpcHApp.cpp analog)")
@@ -234,6 +277,7 @@ def main(argv=None):
     t.add_argument("--reps", type=int, default=3)
     t.add_argument("--fused", action="store_true",
                    help="single-program fused plan (serving path)")
+    t.add_argument("--profile", default=None, metavar="DIR")
     t.set_defaults(fn=cmd_tpch)
 
     s = sub.add_parser("scan", help="column-scan microbenchmark (SimdScanMulti analog)")
@@ -241,6 +285,7 @@ def main(argv=None):
     s.add_argument("--rows", type=int, default=1 << 26)
     s.add_argument("--selectivity", type=float, default=10.0)
     s.add_argument("--reps", type=int, default=5)
+    s.add_argument("--profile", default=None, metavar="DIR")
     s.set_defaults(fn=cmd_scan)
 
     m = sub.add_parser("matrix", help="experiment matrix → CSV (runner.py analog)")

@@ -96,7 +96,7 @@ def _partition_phases(relR, relS, cfg, pt):
 
 
 def _rho_pallas_available(relR: Relation, relS: Relation, cfg) -> bool:
-    if not cfg.use_pallas or cfg.materialize or cfg.key64:
+    if not cfg.use_pallas or cfg.key64:
         return False
     try:
         if jax.devices()[0].platform == "cpu":
@@ -116,23 +116,49 @@ def _rho_pallas_available(relR: Relation, relS: Relation, cfg) -> bool:
 @register("RHO")
 def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
     """Parallel radix join, optimized — the paper's champion
-    (radix_join.cpp:1640-1643).  Count path = fused Pallas pipeline."""
+    (radix_join.cpp:1640-1643).  Both count AND materialize paths run the
+    fused Pallas pipeline on TPU (the reference likewise serves every
+    caller with one RHO, joins.cpp:33-78; tpch.cpp:68), with salt-retry →
+    exact-XLA fallback on overflow."""
     if _rho_pallas_available(relR, relS, cfg):
-        from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3, RETRY_SALTS
+        from aqp_tpu.ops.pallas.rho3 import (
+            RETRY_SALTS,
+            rho_join_count_v3,
+            rho_join_materialize_v3,
+        )
 
         pt = PhaseTimer()
         t0 = time.perf_counter()
         for salt in RETRY_SALTS:
-            m, c, ovf = pt.time_fn(
-                "join", rho_join_count_v3,
-                relR.key, relR.payload, relS.key, relS.payload, salt=salt)
-            if int(ovf) == 0:
-                pt.t.phases["total"] = time.perf_counter() - t0
-                return JoinResult(matches=m, checksum=c), pt.t
+            if cfg.materialize:
+                m, c, ok, orp, osp, ovf = pt.time_fn(
+                    "join", rho_join_materialize_v3,
+                    relR.key, relR.payload, relS.key, relS.payload,
+                    salt=salt)
+                if int(ovf) == 0:
+                    pt.t.phases["total"] = time.perf_counter() - t0
+                    # region-chunked output: holes keyed -3 (chunked-table
+                    # analog; see JoinResult docstring)
+                    return JoinResult(matches=m, checksum=c, key=ok,
+                                      r_payload=orp, s_payload=osp), pt.t
+            else:
+                m, c, ovf = pt.time_fn(
+                    "join", rho_join_count_v3,
+                    relR.key, relR.payload, relS.key, relS.payload,
+                    salt=salt)
+                if int(ovf) == 0:
+                    pt.t.phases["total"] = time.perf_counter() - t0
+                    return JoinResult(matches=m, checksum=c), pt.t
         # adversarial skew beyond every salt: exact XLA core
-        out = pt.time_fn(
-            "join", mergejoin.merge_join_count,
-            relR.key, relR.payload, relS.key, relS.payload)
+        if cfg.materialize:
+            out = pt.time_fn(
+                "join", mergejoin.merge_join_materialize,
+                relR.key, relR.payload, relS.key, relS.payload,
+                result_capacity(relS, cfg))
+        else:
+            out = pt.time_fn(
+                "join", mergejoin.merge_join_count,
+                relR.key, relR.payload, relS.key, relS.payload)
         pt.t.phases["total"] = time.perf_counter() - t0
         return to_join_result(out), pt.t
     return _rho_xla(relR, relS, cfg)

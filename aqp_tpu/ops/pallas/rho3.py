@@ -57,6 +57,15 @@ from aqp_tpu.ops.pallas.netsort import (
 # real keys must stay below this (packed pad = KEY_PAD_INT = 2^31-1)
 MAX_KEY = (1 << 30) - 2
 
+# Designated input-pad keys (dropped by the pipeline's own partition pass —
+# the fused TPC-H plans remap predicate-failing rows to these instead of
+# compacting, queries/fused.py).  Any key in [MAX_KEY, 2^30) is a legal pad;
+# keys outside [0, 2^30) are DOMAIN VIOLATIONS counted into the overflow
+# report (the packed-key equality test would alias keys mod 2^30 — never
+# silently wrong).
+PAD_R_INPUT = (1 << 30) - 2
+PAD_S_INPUT = (1 << 30) - 1
+
 # Multiplicative key scrambling: sigma(key) = (key * HASH_C) mod 2^30 is a
 # BIJECTION on [0, 2^30) (HASH_C odd), so grouping by sigma ranges is a hash
 # partition (uniform bucket loads for any non-duplicate-skewed key set —
@@ -384,11 +393,19 @@ def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
     use_gather = not interpret
     block = prm.block_rows * LANES
     cmul = jnp.int32(salt)
-    sig = jnp.concatenate([rk * cmul, sk * cmul]) & HASH_MASK
+    key = jnp.concatenate([rk, sk])
+    sig = (key * cmul) & HASH_MASK
     tag = jnp.concatenate([jnp.zeros_like(rk), jnp.ones_like(sk)])
-    packed = (sig << 1) | tag
+    # input pads ([MAX_KEY, 2^30), see PAD_R_INPUT) drop at K1 via the pad
+    # encoding; out-of-domain keys are REPORTED (packed equality would
+    # alias keys mod 2^30 — never silently wrong)
+    drop = key >= MAX_KEY
+    viol = jnp.sum(((key < 0) | (key >= (1 << 30))).astype(jnp.int32),
+                   dtype=jnp.int32)
+    packed = jnp.where(drop, KEY_PAD_INT, (sig << 1) | tag)
     # the one key with sigma == 2^30-1 aliases the pad encoding: report
-    alias = jnp.sum((sig == HASH_MASK).astype(jnp.int32), dtype=jnp.int32)
+    alias = viol + jnp.sum(((sig == HASH_MASK) & ~drop).astype(jnp.int32),
+                           dtype=jnp.int32)
     n = packed.shape[0]
     nb = max(-(-n // block), prm.group)
     nb = _next_pow2(nb)

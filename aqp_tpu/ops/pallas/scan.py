@@ -94,7 +94,7 @@ def scan_sum_pallas(col, low, high, sub: int = SUB, interpret: bool = False):
 # scan (row-id output, SIMD512.cpp implicit_index_scan_self_alloc), value
 # scan (decompress + compressstore, SIMD512::scan), and dict scans (8-bit
 # codes gathered through a dictionary, SIMD512.cpp:320-335).  All three ride
-# the row-granular Pallas compactor (rho2.compact_kp: block sort with pads
+# the row-granular Pallas compactor (compact.compact_kp: block sort with pads
 # last + row-DMA scatter — measured ~9x the XLA sort-based compaction),
 # against the reference's ~26.5 GB/s index-scan write rate
 # (SimdScanMulti/results/data/write-rate.csv).
@@ -111,7 +111,7 @@ def _mask_to_kp(col, low, high, payload):
     x = col.astype(jnp.int32)
     m = (x >= jnp.asarray(low, jnp.int32)) & (x <= jnp.asarray(high, jnp.int32))
     rowid = jnp.arange(n, dtype=jnp.int32)
-    from aqp_tpu.ops.pallas.rho2 import PAD_S_INPUT
+    from aqp_tpu.ops.pallas.compact import PAD_S_INPUT
 
     key = jnp.where(m, rowid, PAD_S_INPUT)
     cnt = jnp.sum(m, dtype=jnp.int32)
@@ -124,7 +124,7 @@ def scan_index_pallas(col, low, high, cap_rows: int, interpret: bool = False):
 
     Returns (rowids[cap_rows*128], count, overflow); empty slots carry
     PAD_S_INPUT (>= 2^30-1, never a row id)."""
-    from aqp_tpu.ops.pallas.rho2 import compact_kp
+    from aqp_tpu.ops.pallas.compact import compact_kp
 
     key, pay, cnt = _mask_to_kp(col, low, high,
                                 jnp.zeros_like(col, jnp.int32))
@@ -141,7 +141,7 @@ def scan_values_pallas(col, low, high, cap_rows: int,
     Compaction is block-granular: pad slots (rowid >= 2^30-1) may appear at
     block-boundary rows, so consumers mask by rowid — value filler (0) is
     NOT distinguishable on its own (0 is a legal column value)."""
-    from aqp_tpu.ops.pallas.rho2 import compact_kp
+    from aqp_tpu.ops.pallas.compact import compact_kp
 
     key, pay, cnt = _mask_to_kp(col, low, high, col.astype(jnp.int32))
     out_k, out_v, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)
@@ -162,7 +162,7 @@ def scan_dict_pallas(col, dict_lo, dict_hi, low, high, cap_rows: int,
     gather rides the compacted CODES (256-entry take on ~sel*n rows), so
     the write volume matches the reference's dict mode: one 64-bit value
     per qualifying row."""
-    from aqp_tpu.ops.pallas.rho2 import compact_kp
+    from aqp_tpu.ops.pallas.compact import compact_kp
 
     key, pay, cnt = _mask_to_kp(col, low, high, col.astype(jnp.int32))
     out_k, codes, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)

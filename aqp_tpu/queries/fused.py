@@ -9,13 +9,13 @@ program: one dispatch, full operator fusion, no host round-trips.
 
 Two backends, chosen at trace time:
 
-* TPU: COUNT joins run the Pallas radix pipeline (ops/pallas/rho2.py) with
-  the predicate pushed INTO the join — invalid rows are remapped to pad
-  keys and dropped by the pipeline's own partition pass, so filters cost
-  one fused elementwise pass and zero compaction.  MATERIALIZE joins run
-  the XLA union-sort core over Pallas-compacted bounded inputs
-  (rho2.compact_kp — one block sort + row DMAs instead of an XLA 3-array
-  sort, ~9x at 60M rows).
+* TPU: COUNT joins run the champion Pallas pipeline (ops/pallas/rho3.py,
+  keys-only mode) with the predicate pushed INTO the join — invalid rows
+  are remapped to pad keys ([MAX_KEY, 2^30)) and dropped by the pipeline's
+  own partition pass, so filters cost one fused elementwise pass and zero
+  compaction.  MATERIALIZE joins run the XLA union-sort core over
+  Pallas-compacted bounded inputs (ops/pallas/compact.compact_kp — one
+  block sort + row DMAs instead of an XLA 3-array sort, ~9x at 60M rows).
 * CPU (tests / fallback): XLA sort-based compaction + union-sort joins.
 
 Selection pushdown under static shapes: each buffer is a fixed fraction of
@@ -32,11 +32,14 @@ import jax
 import jax.numpy as jnp
 
 from aqp_tpu.ops import mergejoin
-from aqp_tpu.ops.pallas.rho2 import (
+from aqp_tpu.ops.pallas.compact import (
     PAD_R_INPUT,
     PAD_S_INPUT,
     compact_kp,
-    rho_join_count_v2,
+)
+from aqp_tpu.ops.pallas.rho3 import (
+    rho_join_count_v3,
+    rho_join_materialize_v3,
 )
 from aqp_tpu.queries import filters as F
 from aqp_tpu.queries import tables as T
@@ -71,11 +74,25 @@ def _compact(mask, key, payload, cap_elems: int, pad):
     return k[:cap_elems], p[:cap_elems], count <= cap_elems
 
 
-def _count_join(rk, rp, sk, sp, max_elems: int):
-    """Count join: Pallas pipeline on TPU (pads dropped in-pipeline), XLA
-    union-sort core on CPU.  Returns (matches, ok)."""
+def _mat_join(rk, rp, sk, sp, capacity: int):
+    """Materializing join for the plans' middle stages: the champion Pallas
+    materializer on TPU at scale (region-chunked output, holes keyed -3 —
+    identical sentinel to the XLA core's tail), XLA union-sort core
+    otherwise.  Returns (JoinMaterialized, ok)."""
+    if _use_pallas() and rk.shape[0] + sk.shape[0] >= (1 << 23):
+        m, c, ok, orp, osp, ovf = rho_join_materialize_v3(rk, rp, sk, sp)
+        return mergejoin.JoinMaterialized(m, c, ok, orp, osp), ovf == 0
+    j = mergejoin.merge_join_materialize(rk, rp, sk, sp, capacity)
+    # the XLA core truncates at capacity — report, never silently drop
+    return j, j.matches <= capacity
+
+
+def _count_join(rk, rp, sk, sp):
+    """Count join: champion Pallas pipeline on TPU (keys-only mode, input
+    pads dropped by its own partition pass), XLA union-sort core on CPU.
+    Returns (matches, ok)."""
     if _use_pallas():
-        m, c, ovf = rho_join_count_v2(rk, rp, sk, sp, max_elems=max_elems)
+        m, _, ovf = rho_join_count_v3(rk, rp, sk, sp, with_checksum=False)
         return m, ovf == 0
     j = mergejoin.merge_join_count(rk, rp, sk, sp)
     return j.matches, jnp.bool_(True)
@@ -91,14 +108,13 @@ def tpch_q3_fused(c: T.CustomerTable, o: T.OrdersTable, l: T.LineItemTable):
     nc, no, nl = c.key.shape[0], o.key.shape[0], l.key.shape[0]
     ck, cp, ok1 = _compact(*F.q3_mask_customer(c), _cap(nc, 5, 16), PAD_R_INPUT)
     okey, opay, ok2 = _compact(*F.q3_mask_orders(o), _cap(no, 5, 8), PAD_S_INPUT)
-    j1 = mergejoin.merge_join_materialize(ck, cp, okey, opay, okey.shape[0])
+    j1, okj = _mat_join(ck, cp, okey, opay, okey.shape[0])
     # copy_Sp_Sp (result_transformers.hpp:66+): key = payload = o_orderkey
     uk = jnp.where(j1.key == -3, PAD_R_INPUT, j1.s_payload)
     lmask, lkey, lpay = F.q3_mask_lineitem(l)
     lk, lp = _masked(lmask, lkey, lpay, PAD_S_INPUT)
-    m, ok3 = _count_join(uk, j1.s_payload, lk, lp,
-                         uk.shape[0] + _cap(nl, 3, 4))
-    return m, ok1 & ok2 & ok3
+    m, ok3 = _count_join(uk, j1.s_payload, lk, lp)
+    return m, ok1 & ok2 & okj & ok3
 
 
 @jax.jit
@@ -109,18 +125,21 @@ def tpch_q10_fused(c: T.CustomerTable, o: T.OrdersTable, l: T.LineItemTable,
     ~3.8%, returnflag=R ~33%."""
     no, nl = o.key.shape[0], l.key.shape[0]
     ok_, op_, okf = _compact(*F.q10_mask_orders(o), _cap(no, 1, 16), PAD_S_INPUT)
-    j1 = mergejoin.merge_join_materialize(c.key, c.rowid, ok_, op_, ok_.shape[0])
+    j1, okj1 = _mat_join(c.key, c.rowid, ok_, op_, ok_.shape[0])
     valid = j1.key != -3
-    uk = jnp.where(valid, c.nationkey[jnp.where(valid, j1.r_payload, 0)], -3)
+    # invalid rows -> the S-side pad key (dropped by either backend; -3
+    # would count as a domain violation in the Pallas pipeline)
+    uk = jnp.where(valid, c.nationkey[jnp.where(valid, j1.r_payload, 0)],
+                   PAD_S_INPUT)
     up = jnp.where(valid, j1.s_payload, 0)
-    j2 = mergejoin.merge_join_materialize(n.key, n.rowid, uk, up, uk.shape[0])
+    j2, okj2 = _mat_join(n.key, n.rowid, uk, up, uk.shape[0])
     valid = j2.key != -3
     vk = jnp.where(valid, o.key[jnp.where(valid, j2.s_payload, 0)], PAD_R_INPUT)
     vp = jnp.where(valid, j2.s_payload, 0)
     lmask, lkey, lpay = F.q10_mask_lineitem(l)
     lk, lp = _masked(lmask, lkey, lpay, PAD_S_INPUT)
-    m, okl = _count_join(vk, vp, lk, lp, vk.shape[0] + _cap(nl, 1, 2))
-    return m, okf & okl
+    m, okl = _count_join(vk, vp, lk, lp)
+    return m, okf & okj1 & okj2 & okl
 
 
 @jax.jit
@@ -131,8 +150,7 @@ def tpch_q12_fused(l: T.LineItemTable, o: T.OrdersTable):
     nl = l.key.shape[0]
     lmask, lkey, lpay = F.q12_mask_lineitem(l)
     lk, lp = _masked(lmask, lkey, lpay, PAD_S_INPUT)
-    m, okl = _count_join(o.key, o.rowid, lk, lp,
-                         o.key.shape[0] + _cap(nl, 1, 64))
+    m, okl = _count_join(o.key, o.rowid, lk, lp)
     return m, okl
 
 
@@ -146,8 +164,7 @@ def tpch_q19_fused(l: T.LineItemTable, p: T.PartTable):
     pk, pp, okp = _compact(*F.q19_mask_part(p), _cap(np_, 1, 4), PAD_R_INPUT)
     lk, lp, okl = _compact(*F.q19_mask_lineitem(l), _cap(nl, 1, 8), PAD_S_INPUT)
     mat_cap = _cap(nl, 1, 32)
-    j = mergejoin.merge_join_materialize(pk, pp, lk, lp, mat_cap)
-    okm = j.matches <= mat_cap
+    j, okj = _mat_join(pk, pp, lk, lp, mat_cap)
     valid = j.key != -3
     keep = F.q19_residual_predicate(p, l, j.r_payload, j.s_payload, valid)
-    return jnp.sum(keep, dtype=jnp.int32), okp & okl & okm
+    return jnp.sum(keep, dtype=jnp.int32), okp & okl & okj

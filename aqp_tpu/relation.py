@@ -57,9 +57,17 @@ class JoinResult:
     materialized output columns (analog of result_t + chunked tables,
     data-types.h:104-121).
 
-    Materialized columns are fixed-capacity (static shape) with the first
-    `matches` rows valid; invalid rows are zero.  `checksum` accumulates
-    sum(r_payload + s_payload) over matches mod 2^64 — the reference's CHT
+    Materialized columns are fixed-capacity (static shape) and CHUNKED:
+    exactly `matches` rows are live, and a hole carries the sentinel key
+    -3 (never a real key) with zero payloads.  The XLA engines emit live
+    rows first (holes = tail); the Pallas RHO materializer emits
+    region-chunked holes (ops/pallas/rho3.rho_join_materialize_v3) — the
+    direct analog of the reference's spliced per-thread chunk lists
+    (ChunkedTable.cpp:146-171), whose consumers likewise iterate chunks
+    rather than assume density.  Downstream joins accept -3 directly (it
+    can never match); dense consumers compact with
+    ops/mergejoin.compact_matches.  `checksum` accumulates
+    sum(r_payload + s_payload) over matches mod 2^32 — the reference's CHT
     checksum oracle (CHTJoin.hpp:154-178) generalized to all algorithms.
     """
 

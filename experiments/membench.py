@@ -4,7 +4,7 @@ Reference: Scan-Micro-Benchmarks/microbenchmarks/WriteBench (raw dependent
 read/write/increment latency, shared/algorithms.hpp:8-41).  On TPU the
 corresponding speed-of-light questions are: HBM stream bandwidth,
 gather/scatter row rates, sort rates, cumsum rates — the numbers that decide
-operator design (see ops/mergejoin.py and ops/pallas/rho2.py docstrings).
+operator design (see ops/mergejoin.py and ops/pallas/compact.py docstrings).
 
 Usage: python experiments/membench.py [--small] [--csv results/membench.csv]
 """

@@ -85,7 +85,7 @@ def main():
         rec("xla partition pass", bits, t, N / t / 1e6)
 
     if on_tpu:
-        from aqp_tpu.ops.pallas.rho2 import _plan, scatter_segments, sort_hist
+        from aqp_tpu.ops.pallas.compact import _plan, scatter_segments, sort_hist
 
         F1 = 16
         scale = jnp.float32(F1) / jnp.float32(1 << 30)

@@ -69,8 +69,13 @@ def test_algorithm_materialize(workload, alg):
     rk = np.asarray(r.key)
     rp = np.asarray(r.payload)
     lut = dict(zip(rk.tolist(), rp.tolist()))
-    k = np.asarray(res.key)[:m]
-    rpay = np.asarray(res.r_payload)[:m]
+    # chunked output contract: live rows are key != -3 (holes may be a
+    # dense tail OR region-chunked, see JoinResult docstring)
+    allk = np.asarray(res.key)
+    live = allk != -3
+    assert int(live.sum()) == m
+    k = allk[live]
+    rpay = np.asarray(res.r_payload)[live]
     # every output row's r_payload must be the build row's payload
     assert np.array_equal(rpay, np.vectorize(lut.get)(k))
 
