@@ -73,19 +73,27 @@ def cmd_join(args):
     from aqp_tpu.joins.api import run_join
 
     nr, ns = (args.r, args.s) if args.x is None else _dataset_sizes(args.x)
-    relR = create_relation_pk(nr, seed=args.seed_r)
+    dtype = jax.numpy.int32
+    if args.key64:
+        # KEY_8B analog (data-types.h:6-12): 64-bit keys end-to-end
+        jax.config.update("jax_enable_x64", True)
+        dtype = jax.numpy.int64
+    relR = create_relation_pk(nr, seed=args.seed_r, dtype=dtype)
     if args.z:
-        relS = create_relation_zipf(ns, nr, args.z, seed=args.seed_s)
+        relS = create_relation_zipf(ns, nr, args.z, seed=args.seed_s,
+                                    dtype=dtype)
     elif args.l is not None:
-        relS = create_relation_fk_sel(ns, nr, args.l, seed=args.seed_s)
+        relS = create_relation_fk_sel(ns, nr, args.l, seed=args.seed_s,
+                                      dtype=dtype)
     else:
-        relS = create_relation_fk(ns, nr, seed=args.seed_s)
+        relS = create_relation_fk(ns, nr, seed=args.seed_s, dtype=dtype)
     jax.block_until_ready((relR.key, relS.key))
     cfg = JoinConfig(
         materialize=args.m,
         radix_bits=args.radix_bits,
         passes=args.passes,
         use_pallas=not args.no_pallas,
+        key64=args.key64,
     )
     best = None
     ctx, logdir = _profile_ctx(args)
@@ -261,6 +269,8 @@ def main(argv=None):
     j.add_argument("--radix-bits", type=int, default=None)
     j.add_argument("--passes", type=int, default=None)
     j.add_argument("--no-pallas", action="store_true")
+    j.add_argument("--key64", action="store_true",
+                   help="64-bit keys (KEY_8B analog)")
     j.add_argument("--reps", type=int, default=3)
     j.add_argument("--seed-r", type=int, default=11111)
     j.add_argument("--seed-s", type=int, default=22222)

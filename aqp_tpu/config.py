@@ -39,7 +39,11 @@ class JoinConfig:
     # Materialize join output (key, r_payload, s_payload) — reference
     # MATERIALIZE / CHUNKED_TABLE.  False → count + checksum only.
     materialize: bool = False
-    # 64-bit keys/payloads (reference KEY_8B, data-types.h:6-12).
+    # 64-bit keys/payloads (reference KEY_8B, data-types.h:6-12).  The
+    # generators produce int64 relations under key64 (requires
+    # jax_enable_x64; the CLI --key64 flag sets it), every XLA engine is
+    # dtype-generic, and the Pallas fast path (int32 packed keys) is
+    # bypassed.
     key64: bool = False
     # Hash-table load factor for no-partition joins (npj_params.h sizes the
     # bucket array at |R|/BUCKET_SIZE).
@@ -50,13 +54,11 @@ class JoinConfig:
     partition_rows: int = DEFAULT_PARTITION_ROWS
     # Use Pallas kernels where available (False → pure-XLA reference path).
     use_pallas: bool = True
-    # Skew handling: split partitions larger than this multiple of the mean
-    # (analog of the reference's task-queue stealing + MWAY SKEW_* consts,
-    # joincommon.h:25-29).
-    skew_threshold: float = 8.0
-    # Sharded execution: name of the mesh axis to shuffle over (None → single
-    # device).
-    shard_axis: Optional[str] = None
+    # NOTE: skew handling and sharded execution are NOT config fields — the
+    # distributed API takes them explicitly where they act
+    # (parallel/dist_join.dist_join_count_auto(skew_threshold=...) and the
+    # mesh/axis arguments of parallel/*), mirroring the reference, where
+    # task-queue stealing is a property of the runtime, not joinconfig_t.
 
     @property
     def key_dtype(self):

@@ -128,6 +128,17 @@ def _inl_probe(sorted_rk, sorted_rp, s_key, s_payload):
     return mergejoin.JoinCounts(matches, checksum)
 
 
+@jax.jit
+def _inl_probe_materialize(sorted_rk, sorted_rp, s_key):
+    """Per-S-row hit mask + matched R payload (the materialize-side probe —
+    the reference INL emits output rows in its probe loop,
+    nested_loop_join.cpp:160-217)."""
+    pos = jnp.searchsorted(sorted_rk, s_key)
+    pos = jnp.clip(pos, 0, sorted_rk.shape[0] - 1)
+    hit = sorted_rk[pos] == s_key
+    return hit, jnp.where(hit, sorted_rp[pos], 0)
+
+
 @register("INL")
 def INL(relR: Relation, relS: Relation, cfg: JoinConfig):
     """Index NL: ordered index = sorted array (btree analog), vectorized
@@ -140,6 +151,14 @@ def INL(relR: Relation, relS: Relation, cfg: JoinConfig):
         relR.key,
         relR.payload,
     )
-    out = pt.time_fn("probe", _inl_probe, rk, rp, relS.key, relS.payload)
+    if cfg.materialize:
+        hit, rpay = pt.time_fn(
+            "probe", _inl_probe_materialize, rk, rp, relS.key)
+        out = pt.time_fn(
+            "materialize", mergejoin.compact_matches,
+            hit, relS.key, rpay, relS.payload,
+            capacity=result_capacity(relS, cfg))
+    else:
+        out = pt.time_fn("probe", _inl_probe, rk, rp, relS.key, relS.payload)
     pt.t.phases["total"] = time.perf_counter() - t0
     return to_join_result(out), pt.t

@@ -39,7 +39,6 @@ from aqp_tpu.ops import mergejoin
 from aqp_tpu.relation import Relation
 from aqp_tpu.utils.timing import PhaseTimer
 
-EMPTY = np.int32(2147483647)  # INT32_MAX — generated keys are < 2^31
 _MAX_BUILD_ROUNDS = 64
 
 
@@ -53,7 +52,9 @@ def build_table(r_key, r_payload, table_bits: int):
     """
     T = 1 << table_bits
     slack = _MAX_BUILD_ROUNDS
-    tkey = jnp.full((T + slack,), EMPTY, jnp.int32)
+    # table slots carry the key dtype (int64 under key64); EMPTY = dtype max
+    empty = jnp.asarray(jnp.iinfo(r_key.dtype).max, r_key.dtype)
+    tkey = jnp.full((T + slack,), empty, r_key.dtype)
     slot0 = fib_hash32(r_key, table_bits)
 
     def cond(state):
@@ -78,7 +79,7 @@ def build_table(r_key, r_payload, table_bits: int):
         cond, body, (tkey, slot0, jnp.ones_like(r_key, dtype=bool), jnp.int32(0))
     )
     # unique keys ⇒ unique final slots ⇒ payload scatter is conflict-free
-    tpay = jnp.zeros((T + slack,), jnp.int32).at[slot].set(
+    tpay = jnp.zeros((T + slack,), r_payload.dtype).at[slot].set(
         r_payload, unique_indices=True, mode="drop"
     )
     max_disp = jnp.max(slot - slot0)
@@ -90,15 +91,16 @@ def probe_table(tkey, tpay, s_key, table_bits: int, window: int):
     """Windowed vectorized probe: gather `window` consecutive slots, then a
     while-loop for rows still unresolved (neither hit nor EMPTY seen)."""
     slot0 = fib_hash32(s_key, table_bits)
+    empty = jnp.asarray(jnp.iinfo(tkey.dtype).max, tkey.dtype)
     found = jnp.zeros_like(s_key, dtype=bool)
-    rpay = jnp.zeros_like(s_key)
+    rpay = jnp.zeros_like(tpay, shape=s_key.shape)
     open_ = jnp.zeros_like(s_key, dtype=bool)  # saw EMPTY ⇒ definitive miss
     for w in range(window):
         k = tkey[slot0 + w]
         hit = (~found) & (~open_) & (k == s_key)
         rpay = jnp.where(hit, tpay[slot0 + w], rpay)
         found = found | hit
-        open_ = open_ | ((~found) & (k == EMPTY))
+        open_ = open_ | ((~found) & (k == empty))
 
     def cond(state):
         w, found, open_, _ = state
@@ -110,7 +112,7 @@ def probe_table(tkey, tpay, s_key, table_bits: int, window: int):
         hit = (~found) & (~open_) & (k == s_key)
         rpay = jnp.where(hit, tpay[slot0 + w], rpay)
         found = found | hit
-        open_ = open_ | ((~(found | open_)) & (k == EMPTY))
+        open_ = open_ | ((~(found | open_)) & (k == empty))
         return w + 1, found, open_, rpay
 
     _, found, open_, rpay = jax.lax.while_loop(

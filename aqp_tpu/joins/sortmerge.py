@@ -78,7 +78,10 @@ def _mway_join(rk, rp, sk, sp):
     run = 1 << (run - 1).bit_length()  # pow2: bitonic merge precondition
     pad = PARTFANOUT * run - n
     if pad:
-        skey = jnp.concatenate([skey, jnp.full((pad,), _PAD_PACKED, jnp.int32)])
+        # pad sorts LAST in the packed-key dtype (int64 under key64: an
+        # int32 max pad would land mid-range and corrupt the merge)
+        pad_val = jnp.asarray(jnp.iinfo(skey.dtype).max, skey.dtype)
+        skey = jnp.concatenate([skey, jnp.full((pad,), pad_val, skey.dtype)])
         pay = jnp.concatenate([pay, jnp.zeros((pad,), pay.dtype)])
 
     # sorting phase: PARTFANOUT independent cache-sized runs
@@ -107,7 +110,7 @@ def _mway_join(rk, rp, sk, sp):
     _, prop_key, prop_pay = mergejoin._last_valid_scan(
         is_r, jnp.where(is_r, sk2, -1), jnp.where(is_r, spay, -1)
     )
-    match = (~is_r) & (prop_key == sk2) & (pk != _PAD_PACKED)
+    match = (~is_r) & (prop_key == sk2) & (pk != jnp.iinfo(pk.dtype).max)
     matches = jnp.sum(match, dtype=jnp.int32)
     checksum = jnp.sum(
         jnp.where(match, prop_pay.astype(jnp.uint32)

@@ -16,8 +16,13 @@ GOLDEN32 = np.uint32(0x9E3779B1)
 
 
 def radix_bits(key, shift: int, bits: int):
-    """bucket = (key >> shift) & (2^bits - 1) — HASH_BIT_MODULO analog."""
+    """bucket = (key >> shift) & (2^bits - 1) — HASH_BIT_MODULO analog.
+
+    Dtype-generic: int64 keys (KEY_8B / JoinConfig.key64) shift in their
+    native width — a uint32 cast would fold the high 32 bits away."""
     mask = (1 << bits) - 1
+    if key.dtype in (jnp.int64, jnp.uint64):
+        return ((key >> shift) & mask).astype(jnp.int32)
     return (key.astype(jnp.uint32) >> shift).astype(jnp.int32) & mask
 
 

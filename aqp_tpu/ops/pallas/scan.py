@@ -29,12 +29,16 @@ def _mask(x_ref, lo_hi_ref):
 
 def _count_kernel(lo_hi_ref, x_ref, part_ref):
     _, m = _mask(x_ref, lo_hi_ref)
-    part_ref[0, 0] = jnp.sum(m.astype(jnp.int32), dtype=jnp.int32)
+    s = jnp.sum(m.astype(jnp.int32), dtype=jnp.int32)
+    # partial broadcast to an (8, 128) tile: Mosaic requires output block
+    # last dims divisible by (8, 128); caller reads [:, 0, 0]
+    part_ref[:] = jnp.full((8, LANES), s, jnp.int32)
 
 
 def _sum_kernel(lo_hi_ref, x_ref, part_ref):
     x, m = _mask(x_ref, lo_hi_ref)
-    part_ref[0, 0] = jnp.sum(jnp.where(m, x, 0), dtype=jnp.int32)
+    s = jnp.sum(jnp.where(m, x, 0), dtype=jnp.int32)
+    part_ref[:] = jnp.full((8, LANES), s, jnp.int32)
 
 
 def _bitvector_kernel(lo_hi_ref, x_ref, bv_ref):
@@ -67,12 +71,12 @@ def _run_partials(kernel, col, low, high, sub, interpret):
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[pl.BlockSpec((sub, LANES), lambda i, s: (i, 0))],
-            out_specs=[pl.BlockSpec((1, 1), lambda i, s: (i, 0))],
+            out_specs=[pl.BlockSpec((8, LANES), lambda i, s: (i, 0))],
         ),
-        out_shape=[jax.ShapeDtypeStruct((nb, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nb * 8, LANES), jnp.int32)],
         interpret=interpret,
     )(lo_hi, col.reshape(-1, LANES))
-    return parts[0]
+    return parts[0].reshape(nb, 8, LANES)[:, 0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "interpret"))

@@ -83,9 +83,18 @@ def dist_join_count(relR: Relation, relS: Relation,
 SHUFFLE_SALTS = (0, 0x5BD1E995, 0x27D4EB2F)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_dist_join_count(mesh, nr_shard, ns_shard, axis, safety, salt):
+    """Per-(mesh, shapes, salt) compiled-program cache: the common
+    no-overflow case pays one trace+compile ever, not one per call."""
+    return make_dist_join_count(mesh, nr_shard, ns_shard, axis, safety,
+                                salt=salt)
+
+
 def dist_join_count_auto(relR: Relation, relS: Relation,
                          mesh: Optional[Mesh] = None,
-                         axis: str = DEFAULT_AXIS, safety: float = 2.0):
+                         axis: str = DEFAULT_AXIS, safety: float = 2.0,
+                         skew_threshold: float = 8.0):
     """Distributed count join with automatic overflow recovery.
 
     Escalation: hash shuffle → salted re-shuffle (×2) → skew-aware
@@ -93,6 +102,11 @@ def dist_join_count_auto(relR: Relation, relS: Relation,
     either reports overflow=0 or escalates; the skew tier's result carries
     its own overflow counter.  Returns (matches, checksum, tier) where
     tier is "hash", "hash+salt", or "skew".
+
+    skew_threshold: a key counts as a heavy hitter when its global S mass
+    exceeds this multiple of the mean per-key rows (|S|/|R|) — the analog
+    of the reference's MWAY skew constants (joincommon.h:25-29) and the
+    dynamic-stealing crossover.
     """
     from aqp_tpu.parallel.skew import make_dist_join_count_skew
 
@@ -102,11 +116,14 @@ def dist_join_count_auto(relR: Relation, relS: Relation,
     S = shard_relation(relS, mesh, axis)
     nr_s, ns_s = R.num_tuples // n, S.num_tuples // n
     for i, salt in enumerate(SHUFFLE_SALTS):
-        fn = make_dist_join_count(mesh, nr_s, ns_s, axis, safety, salt=salt)
+        fn = _cached_dist_join_count(mesh, nr_s, ns_s, axis, safety, salt)
         m, ck, ovf_r, ovf_s = fn(R.key, R.payload, S.key, S.payload)
         if int(ovf_r) == 0 and int(ovf_s) == 0:
             return int(m), int(ck), ("hash" if i == 0 else "hash+salt")
-    fn = make_dist_join_count_skew(mesh, nr_s, ns_s, axis, safety)
+    heavy_threshold = max(
+        32, int(skew_threshold * S.num_tuples / max(1, R.num_tuples)))
+    fn = make_dist_join_count_skew(mesh, nr_s, ns_s, axis, safety,
+                                   heavy_threshold=heavy_threshold)
     m, ck, ovf = fn(R.key, R.payload, S.key, S.payload)
     if int(ovf) != 0:
         raise RuntimeError(

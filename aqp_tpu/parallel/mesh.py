@@ -60,16 +60,22 @@ def _row_spec(mesh: Mesh):
 
 def shard_relation(rel: Relation, mesh: Mesh, axis: Optional[str] = None
                    ) -> Relation:
-    """Row-shard a relation across the mesh (pad to a multiple of the total
-    device count with non-matching sentinel keys).  Works for 1- and 2-axis
-    meshes (rows shard over all axes jointly)."""
+    """Row-shard a relation across the mesh (pad to a multiple of the shard
+    count with negative sentinel keys, which every shuffle/join stage
+    drops).  axis=None shards rows over ALL mesh axes jointly; an explicit
+    axis shards over that axis only (the other axes replicate)."""
     import jax.numpy as jnp
 
-    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if axis is None:
+        spec = _row_spec(mesh)
+        n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    else:
+        spec = P(axis)
+        n = mesh.shape[axis]
     pad = (-rel.num_tuples) % n
     key, payload = rel.key, rel.payload
     if pad:
         key = jnp.concatenate([key, jnp.full((pad,), -1, key.dtype)])
         payload = jnp.concatenate([payload, jnp.zeros((pad,), payload.dtype)])
-    sh = NamedSharding(mesh, _row_spec(mesh))
+    sh = NamedSharding(mesh, spec)
     return Relation(jax.device_put(key, sh), jax.device_put(payload, sh))

@@ -30,40 +30,13 @@ PAD_R = np.int32(-1)
 PAD_S = np.int32(-2)
 
 
-def _pack_send_buffers(key, payload, n_dest: int, capacity: int, pad_key, salt: int):
-    """Bucket local rows by destination into a (n_dest, capacity) buffer.
-
-    Local reorder is a stable sort by destination (the fast reorder primitive
-    on this hardware); slot indices inside each destination come from the
-    position minus the destination's start offset.
-    """
+def _pack_send_buffers(key, payload, n_dest: int, capacity: int, pad_key,
+                       salt: int):
+    """Bucket local rows by hash destination into a (n_dest, capacity)
+    buffer (destination computation + delegate to _pack_by_dest)."""
     bits = max(1, (n_dest - 1).bit_length())
     dest = partition_hash(key, bits, salt=salt) % n_dest
-    dest = jnp.where(key == pad_key, n_dest, dest)  # pre-padded rows → dropped
-    d, k, p = jax.lax.sort((dest, key, payload), num_keys=1, is_stable=True)
-    n = k.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # start offset of each row's destination run = first index with same dest:
-    # computed from histogram prefix (one-hot sum keeps us off slow scatters).
-    hist = jnp.sum(
-        (d[:, None] == jnp.arange(n_dest + 1)[None, :]).astype(jnp.int32), axis=0
-    )
-    starts = jnp.cumsum(hist) - hist
-    slot = pos - starts[jnp.clip(d, 0, n_dest)]
-    in_cap = (slot < capacity) & (d < n_dest)
-    overflow = jnp.sum((slot >= capacity) & (d < n_dest), dtype=jnp.int32)
-    flat_idx = jnp.where(in_cap, d * capacity + slot, n_dest * capacity)
-    buf_k = jnp.full((n_dest * capacity + 1,), pad_key, k.dtype).at[flat_idx].set(
-        k, unique_indices=True, mode="drop"
-    )[:-1]
-    buf_p = jnp.zeros((n_dest * capacity + 1,), p.dtype).at[flat_idx].set(
-        p, unique_indices=True, mode="drop"
-    )[:-1]
-    return (
-        buf_k.reshape(n_dest, capacity),
-        buf_p.reshape(n_dest, capacity),
-        overflow,
-    )
+    return _pack_by_dest(key, payload, dest, n_dest, capacity, pad_key)
 
 
 def shuffle_relation(key, payload, axis: str, capacity: int, pad_key, salt: int = 0):
@@ -81,8 +54,18 @@ def shuffle_relation(key, payload, axis: str, capacity: int, pad_key, salt: int 
 
 
 def _pack_by_dest(key, payload, dest, n_dest: int, capacity: int, pad_key):
-    """_pack_send_buffers with a precomputed destination per row."""
-    dest = jnp.where(key == pad_key, n_dest, dest)
+    """Pack rows into per-destination send buffers given a destination per
+    row.  Local reorder is a stable sort by destination (the fast reorder
+    primitive on this hardware); slot indices inside each destination come
+    from the position minus the destination's start offset (histogram
+    prefix — the reference's exchange-plan idiom, radix_join.cpp:886-931).
+
+    ALL negative keys are dropped, not just this side's pad: every sentinel
+    in the system is negative (PAD_R -1, PAD_S -2, chunked-output holes -3,
+    shard_relation padding) and no generator/TPC-H key is — so a padded row
+    from the other side can never phantom-match a receive-buffer pad slot.
+    """
+    dest = jnp.where((key == pad_key) | (key < 0), n_dest, dest)
     d, k, p = jax.lax.sort((dest, key, payload), num_keys=1, is_stable=True)
     n = k.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)

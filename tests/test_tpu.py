@@ -1,0 +1,139 @@
+"""TPU-hardware test pass (pytest -m tpu, AQP_TEST_TPU=1).
+
+Runs the PRODUCTION Pallas geometry (Rho3Params defaults: block_rows=1024,
+MXU one-hot extraction, hybrid-layout merges) on the real chip at headline
+scale and cross-checks it against the exact XLA core — the
+cross-implementation consistency discipline of the reference (SURVEY §4.2:
+runs across algorithms/modes must agree), applied to the fast path the CPU
+suite can only exercise in small interpret-mode geometries.
+
+Shapes reuse the bench workload (13.1M x 52.4M) so warm compile-cache
+entries are shared with bench.py; values use different seeds.
+"""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+NR, NS = 13_107_200, 52_428_800
+
+
+@pytest.fixture(scope="module")
+def jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+@pytest.fixture(scope="module")
+def workload():
+    import jax
+    from aqp_tpu.data import create_relation_pk, create_relation_fk
+
+    relR = create_relation_pk(NR, seed=555)
+    relS = create_relation_fk(NS, NR, seed=777)
+    jax.block_until_ready((relR.key, relS.key))
+    return relR, relS
+
+
+def test_rho3_count_default_geometry(workload, jnp):
+    from aqp_tpu.ops import mergejoin
+    from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3
+
+    relR, relS = workload
+    m, c, ovf = rho_join_count_v3(relR.key, relR.payload,
+                                  relS.key, relS.payload)
+    assert int(ovf) == 0
+    assert int(m) == NS
+    mk, _, ovfk = rho_join_count_v3(relR.key, relR.payload,
+                                    relS.key, relS.payload,
+                                    with_checksum=False)
+    assert int(ovfk) == 0 and int(mk) == NS
+    ref = mergejoin.merge_join_count(relR.key, relR.payload,
+                                     relS.key, relS.payload)
+    assert int(ref.matches) == NS
+    assert int(c) == int(ref.checksum)
+
+
+def _multiset_sig(jnp, key, rp, sp, live):
+    """Order-invariant signatures of the live output rows (two independent
+    mixes -> collision implausible), computed on device."""
+    import jax
+
+    k = jnp.where(live, key, 0).astype(jnp.uint32)
+    a = jnp.where(live, rp, 0).astype(jnp.uint32)
+    b = jnp.where(live, sp, 0).astype(jnp.uint32)
+    s1 = jnp.sum(k * jnp.uint32(2654435761) + a * jnp.uint32(40503)
+                 + b * jnp.uint32(2246822519), dtype=jnp.uint32)
+    mix = (k ^ (a * jnp.uint32(374761393))) * jnp.uint32(3266489917) + b
+    s2 = jnp.sum(mix * mix, dtype=jnp.uint32)
+    n = jnp.sum(live, dtype=jnp.int32)
+    return jax.device_get((n, s1, s2))
+
+
+def test_rho3_materialize_multiset(workload, jnp):
+    """Materialized output multiset == the XLA core's, at full scale on the
+    production geometry (region-chunked vs dense-tail hole layouts)."""
+    import jax
+    from aqp_tpu.ops import mergejoin
+    from aqp_tpu.ops.pallas.rho3 import rho_join_materialize_v3
+
+    relR, relS = workload
+    m, c, ok, orp, osp, ovf = rho_join_materialize_v3(
+        relR.key, relR.payload, relS.key, relS.payload)
+    assert int(ovf) == 0 and int(m) == NS
+    sig = jax.jit(lambda k, a, b: _multiset_sig(jnp, k, a, b, k != -3))
+    n1, s1a, s1b = sig(ok, orp, osp)
+    ref = mergejoin.merge_join_materialize(
+        relR.key, relR.payload, relS.key, relS.payload, NS)
+    n2, s2a, s2b = sig(ref.key, ref.r_payload, ref.s_payload)
+    assert int(n1) == int(n2) == NS
+    assert int(s1a) == int(s2a)
+    assert int(s1b) == int(s2b)
+    assert int(c) == int(ref.checksum)
+
+
+def test_dispatcher_rho_materialize_fast_path(workload):
+    """run_join('RHO', materialize=True) must take the Pallas materializer
+    on TPU (round-2 verdict: the 1.35x number was unreachable through the
+    dispatcher) — detectable by the region-chunked output capacity."""
+    from aqp_tpu import run_join, JoinConfig
+
+    relR, relS = workload
+    res, t = run_join(relR, relS, "RHO", JoinConfig(materialize=True))
+    assert int(res.matches) == NS
+    assert res.key is not None
+    # the XLA fallback's capacity is exactly |S| rounded to 128; the Pallas
+    # region-chunked layout is strictly larger (f1*f2*w*LANES)
+    assert res.key.shape[0] > NS + 128, "materialize fell back to XLA core"
+
+
+def test_pallas_scans_match_xla(jnp):
+    import jax
+    from aqp_tpu.ops import scan as S
+    from aqp_tpu.ops.pallas import scan as PS
+
+    n = 1 << 24
+    col = (jnp.arange(n, dtype=jnp.int32) * 7919 % 251).astype(jnp.uint8)
+    jax.block_until_ready(col)
+    lo, hi = jnp.uint8(30), jnp.uint8(200)
+    assert int(PS.scan_count_pallas(col, lo, hi)) == int(
+        S.scan_count(col, lo, hi))
+    assert int(PS.scan_sum_pallas(col, lo, hi)) == int(
+        S.scan_sum(col, lo, hi))
+    bv_p = PS.scan_bitvector_pallas(col, lo, hi)
+    bv_x = S.scan_bitvector(col, lo, hi)
+    assert int(jnp.sum((bv_p != bv_x).astype(jnp.int32))) == 0
+
+
+def test_fused_q12_matches_staged():
+    from aqp_tpu.queries import generate_tpch_tables, tpch_q12
+    from aqp_tpu.queries.fused import tpch_q12_fused
+
+    l, o, c, p, n = generate_tpch_tables(scale=0.1)
+    m, okq = tpch_q12_fused(l, o)
+    assert bool(okq)
+    staged = tpch_q12(l, o, algorithm="RHO")
+    assert int(m) == int(staged.matches)
