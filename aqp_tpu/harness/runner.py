@@ -56,6 +56,10 @@ class ExperimentConfig:
     reps: int = 3
     seed_r: int = 11111
     seed_s: int = 22222
+    # run each (alg, workload, cfg) once unrecorded before rep 0 so compile
+    # time never lands in the measured rows (the reference likewise plots
+    # post-warmup repetitions, runner.py:204)
+    warmup: bool = True
 
     def enumerate(self):
         return itertools.product(
@@ -80,6 +84,7 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
     """Run the matrix; returns a list of long-format row dicts."""
     rows: List[Dict] = []
     cache = {}
+    warmed = set()
     for alg, (nr, ns), skew, sel, mat, rep in cfg.enumerate():
         wkey = (nr, ns, skew, sel)
         if wkey not in cache:
@@ -88,6 +93,9 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
         relR, relS = cache[wkey]
         jc = JoinConfig(materialize=mat)
         try:
+            if cfg.warmup and (alg, wkey, mat) not in warmed:
+                run_join(relR, relS, alg, jc)  # compile run, unrecorded
+                warmed.add((alg, wkey, mat))
             result, t = run_join(relR, relS, alg, jc)
         except Exception as e:  # record failures like runner.py:236-244
             log.error(f"{alg} {nr}x{ns} failed: {e}")

@@ -4,19 +4,32 @@ import sys
 
 sys.path.insert(0, ".")
 
+from aqp_tpu.utils import ensure_platform_from_env
+
+ensure_platform_from_env()
+
 from aqp_tpu.harness import ExperimentConfig, run_experiments, rows_to_csv
 from aqp_tpu.joins.api import JOIN_ALGORITHMS
 
 
 def main(small: bool = False):
     size = (1 << 16, 1 << 18) if small else (13_107_200, 52_428_800)
+    # NL is the O(|R|·|S|) all-pairs baseline: it gets its own small size
+    # (the reference's overview also runs it as a baseline, not at scale)
     cfg = ExperimentConfig(
-        algorithms=sorted(JOIN_ALGORITHMS),
+        algorithms=sorted(set(JOIN_ALGORITHMS) - {"NL"}),
         sizes=[size],
         reps=3,
     )
     rows = run_experiments(cfg)
+    nl_cfg = ExperimentConfig(
+        algorithms=["NL"],
+        sizes=[(1 << 14, 1 << 16) if small else (1 << 18, 1 << 20)],
+        reps=3,
+    )
+    rows += run_experiments(nl_cfg)
     rows_to_csv(rows, "results/join-overview.csv")
+    print(f"wrote results/join-overview.csv ({len(rows)} rows)")
 
 
 if __name__ == "__main__":

@@ -3,6 +3,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from aqp_tpu.utils import ensure_platform_from_env
+
+ensure_platform_from_env()
+
 from aqp_tpu.harness import ExperimentConfig, run_experiments, rows_to_csv
 
 
