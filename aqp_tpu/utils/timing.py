@@ -48,6 +48,11 @@ def ensure_platform_from_env():
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         jax.config.update("jax_platforms", want)
+    # Pallas bitonic blocks at sub>=1024 need the scoped-VMEM raise; it must
+    # be in the env before the first TPU compile.  Centralized here so every
+    # experiment driver gets it, not just __main__/bench.py.
+    os.environ.setdefault(
+        "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=100000")
 
 
 PHASE_KEYS = (
