@@ -1,12 +1,32 @@
-"""Scan microbenchmark driver — the SimdScanMulti analog.
+"""Scan configuration-spectrum driver — the SimdScanMulti analog.
 
-Reference: Scan-Micro-Benchmarks/microbenchmarks/SimdScanMulti/App/App.cpp
-(config spectrum: mode x size x selectivity x repeats -> CSV) with the
-PerfEventBlock CSV row per configuration.  Here: one process, one chip,
-amortized in-jit repetition (the environment has ~25 ms fixed dispatch
-overhead per device call), bytes/s as the metric.
+Reference: Scan-Micro-Benchmarks/microbenchmarks/SimdScanMulti enumerates a
+config spectrum (App/types.hpp:106-189): mode x entries x selectivity x
+preload x cached/unique x threads, one PerfEventBlock CSV row each
+(App/App.cpp), feeding the paper's write-rate.csv / scale-up.csv families.
 
-Usage: python experiments/scan_bench.py [--small] [--csv results/scan.csv]
+TPU analogs of the reference axes:
+  mode        -> the same six scan modes (count/sum/bitvector/index/values/
+                 dict), each in two engines: `xla` (fused HLO, the scalar/
+                 auto-vec analog) and `pallas` (hand-tiled kernels, the
+                 SIMD512 analog).
+  entries     -> size sweep spanning VMEM-class to HBM-resident columns.
+  selectivity -> predicate range width, as in the reference.
+  preload     -> residency: `resident` re-scans a device-resident column
+                 (preload=true); `streamed` pays the host->device transfer
+                 per scan (preload=false / enclave-copy analog).
+  threads     -> n/a on one chip (mesh scaling lives in parallel/).
+
+Families written (reference CSV-family analogs):
+  selectivity -> results/scan-selectivity.csv   (write-rate.csv analog)
+  scaleup     -> results/scan-scale-up.csv      (scale-up.csv analog)
+  residency   -> results/scan-residency.csv     (preload spectrum analog)
+
+Write modes use a full-size preallocated output (cap_rows = n/128), matching
+the reference's worst-case buffers, so one compile covers the whole
+selectivity sweep (lo/hi are traced scalars).
+
+Usage: python experiments/scan_bench.py [--small] [--family all] [--csv-dir results]
 """
 
 import argparse
@@ -15,93 +35,203 @@ import time
 
 sys.path.insert(0, ".")
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
-from aqp_tpu.utils import ensure_platform_from_env, hard_sync
+from aqp_tpu.utils import ensure_platform_from_env
 
 ensure_platform_from_env()
 
+import jax
+import jax.numpy as jnp
 
-def overhead():
-    tiny = jnp.zeros((8,), jnp.int32)
-    f = jax.jit(lambda x: jnp.sum(x))
-    hard_sync(f(tiny))
+LANES = 128
+
+
+def log(msg):
+    print(f"[scan] {msg}", file=sys.stderr, flush=True)
+
+
+def time_async(fn, reps, fetch):
+    """Mean s/call over an async-pipelined loop; `fetch(out)` forces a real
+    device->host scalar round trip at the end (block_until_ready alone has
+    been observed not to block on this platform)."""
+    out = fn()
+    fetch(out)
     t0 = time.perf_counter()
-    for _ in range(5):
-        hard_sync(f(tiny))
-    return (time.perf_counter() - t0) / 5
-
-
-def bench_mode(col, mode, lo, hi, oh, reps=3, use_pallas=True):
-    from aqp_tpu.ops import scan as xscan
-
-    n = col.shape[0]
-    if use_pallas and jax.devices()[0].platform not in ("cpu",):
-        from aqp_tpu.ops.pallas import scan as pscan
-
-        fns = {
-            "count": lambda: pscan.scan_count_pallas(col, lo, hi),
-            "sum": lambda: pscan.scan_sum_pallas(col, lo, hi),
-            "bitvector": lambda: pscan.scan_bitvector_pallas(col, lo, hi),
-        }
-    else:
-        fns = {}
-    fns.setdefault("count", lambda: xscan.scan_count(col, lo, hi))
-    fns.setdefault("sum", lambda: xscan.scan_sum(col, lo, hi))
-    fns.setdefault("bitvector", lambda: xscan.scan_bitvector(col, lo, hi))
-    cap = max(8, int(n * 0.6))
-    fns.setdefault("index", lambda: xscan.scan_index(col, lo, hi, cap))
-    fns.setdefault(
-        "dict",
-        lambda: xscan.scan_dict(
-            col, jnp.arange(256, dtype=jnp.int64) * 7, lo, hi, cap
-        ),
-    )
-    fn = fns[mode]
-    hard_sync(fn())
-    best = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter()
-        hard_sync(fn())
-        best = min(best, time.perf_counter() - t0)
-    t = max(best - oh, 1e-9)
-    return n / t / 1e9  # GB/s (1 byte per row)
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def make_fns(col, n, engine, cap_rows, dict_lo, dict_hi):
+    """mode -> (fn(lo, hi) -> out, fetch(out), write_bytes_per_row)."""
+    if engine == "pallas":
+        from aqp_tpu.ops.pallas import scan as ps
+
+        return {
+            "count": (lambda lo, hi: ps.scan_count_pallas(col, lo, hi),
+                      lambda o: int(o), 0),
+            "sum": (lambda lo, hi: ps.scan_sum_pallas(col, lo, hi),
+                    lambda o: int(o), 0),
+            "bitvector": (lambda lo, hi: ps.scan_bitvector_pallas(col, lo, hi),
+                          lambda o: int(o[0]), 0.125),
+            "index": (lambda lo, hi: ps.scan_index_pallas(col, lo, hi, cap_rows),
+                      lambda o: int(o[1]), 4),
+            "values": (lambda lo, hi: ps.scan_values_pallas(col, lo, hi, cap_rows),
+                       lambda o: int(o[2]), 8),
+            "dict": (lambda lo, hi: ps.scan_dict_pallas(
+                col, dict_lo, dict_hi, lo, hi, cap_rows),
+                lambda o: int(o[3]), 12),
+        }
+    from aqp_tpu.ops import scan as xs
+
+    cap = cap_rows * LANES
+    dict64 = (dict_lo.astype(jnp.int64)
+              | (dict_hi.astype(jnp.int64) << 32))
+    return {
+        "count": (lambda lo, hi: xs.scan_count(col, lo, hi),
+                  lambda o: int(o), 0),
+        "sum": (lambda lo, hi: xs.scan_sum(col, lo, hi),
+                lambda o: int(o), 0),
+        "bitvector": (lambda lo, hi: xs.scan_bitvector(col, lo, hi),
+                      lambda o: int(o[0]), 0.125),
+        "index": (lambda lo, hi: xs.scan_index(col, lo, hi, cap),
+                  lambda o: int(o[1]), 4),
+        "values": (lambda lo, hi: xs.scan_values(col, lo, hi, cap),
+                   lambda o: int(o[1]), 4),
+        "dict": (lambda lo, hi: xs.scan_dict(col, dict64, lo, hi, cap),
+                 lambda o: int(o[1]), 8),
+    }
+
+
+def sel_bounds(sel):
+    """Predicate [0, hi] over a uniform 0..255 column ~= sel% qualifying."""
+    hi = max(0, min(255, round(sel / 100.0 * 256) - 1))
+    return jnp.uint8(0), jnp.uint8(hi)
+
+
+def make_col(n):
+    col = (jnp.arange(n, dtype=jnp.int32) & 255).astype(jnp.uint8)
+    jax.block_until_ready(col)
+    return col
+
+
+def dict_planes():
+    d = jnp.arange(256, dtype=jnp.int32) * 7
+    return d, d + 1
+
+
+MODES = ("count", "sum", "bitvector", "index", "values", "dict")
+
+
+def run_config(fns, mode, sel, n, reps):
+    fn, fetch, wb = fns[mode]
+    lo, hi = sel_bounds(sel)
+    t = time_async(lambda: fn(lo, hi), reps, fetch)
+    read_gbs = n / t / 1e9  # 1 byte/row
+    write_gbs = (n * (sel / 100.0) * wb) / t / 1e9 if wb else 0.0
+    return t, read_gbs, write_gbs
+
+
+def family_selectivity(small, reps, rows):
+    n = 1 << (20 if small else 26)
+    col = make_col(n)
+    dlo, dhi = dict_planes()
+    cap_rows = n // LANES
+    sels = [1.0, 10.0, 25.0, 50.0, 75.0, 100.0]
+    for engine in ("pallas", "xla"):
+        if engine == "pallas" and jax.devices()[0].platform == "cpu":
+            continue  # Pallas TPU kernels don't run on the CPU backend
+        fns = make_fns(col, n, engine, cap_rows, dlo, dhi)
+        for mode in MODES:
+            for sel in sels:
+                t, r, w = run_config(fns, mode, sel, n, reps)
+                rows.append(("selectivity", mode, engine, n, sel,
+                             "resident", round(t * 1e3, 3), round(r, 2),
+                             round(w, 2)))
+                log(f"sel {engine}:{mode} n={n} sel={sel:5.1f}% "
+                    f"read {r:7.2f} GB/s write {w:6.2f} GB/s")
+
+
+def family_scaleup(small, reps, rows):
+    sizes = [1 << 17, 1 << 20] if small else [
+        1 << 17, 1 << 20, 1 << 23, 1 << 26, 1 << 29]
+    dlo, dhi = dict_planes()
+    for n in sizes:
+        col = make_col(n)
+        cap_rows = n // LANES
+        for engine in ("pallas", "xla"):
+            if engine == "pallas" and jax.devices()[0].platform == "cpu":
+                continue
+            fns = make_fns(col, n, engine, cap_rows, dlo, dhi)
+            for mode in ("count", "values"):  # one compute-, one write-bound
+                t, r, w = run_config(fns, mode, 10.0, n, reps)
+                rows.append(("scaleup", mode, engine, n, 10.0, "resident",
+                             round(t * 1e3, 3), round(r, 2), round(w, 2)))
+                log(f"scaleup {engine}:{mode} n={n:>10d} read {r:7.2f} GB/s")
+        del col
+
+
+def family_residency(small, reps, rows):
+    """preload=true/false analog: device-resident re-scan vs paying the
+    host->device copy per scan (the enclave-ingress cost of the reference's
+    preload=false runs)."""
+    n = 1 << (20 if small else 26)
+    host = np.asarray(make_col(n))
+    dlo, dhi = dict_planes()
+    cap_rows = n // LANES
+    engine = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    col_dev = jnp.asarray(host)
+    jax.block_until_ready(col_dev)
+    fns = make_fns(col_dev, n, engine, cap_rows, dlo, dhi)
+    for mode in ("count", "index"):
+        t, r, w = run_config(fns, mode, 10.0, n, reps)
+        rows.append(("residency", mode, engine, n, 10.0, "resident",
+                     round(t * 1e3, 3), round(r, 2), round(w, 2)))
+        fn, fetch, wb = fns[mode]
+        lo, hi = sel_bounds(10.0)
+
+        def streamed():
+            c = jax.device_put(host)
+            f2 = make_fns(c, n, engine, cap_rows, dlo, dhi)[mode][0]
+            return f2(lo, hi)
+
+        t = time_async(streamed, max(1, reps // 2), fetch)
+        r = n / t / 1e9
+        w = (n * 0.1 * wb) / t / 1e9 if wb else 0.0
+        rows.append(("residency", mode, engine, n, 10.0, "streamed",
+                     round(t * 1e3, 3), round(r, 2), round(w, 2)))
+        log(f"residency {mode}: resident vs streamed written")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--csv", default=None)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--family", default="all",
+                    choices=["all", "selectivity", "scaleup", "residency"])
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--csv-dir", default="results")
     args = ap.parse_args()
 
-    oh = overhead()
-    sizes = [1 << 20, 1 << 24] if args.small else [1 << 24, 1 << 28, 1 << 30]
-    sels = [1.0, 10.0, 50.0, 100.0]
-    modes = ["count", "sum", "bitvector", "index", "dict"]
     rows = []
-    for n in sizes:
-        col = (jnp.arange(n, dtype=jnp.int32) & 255).astype(jnp.uint8)
-        hard_sync(col)
-        for mode in modes:
-            for sel in sels:
-                hi = jnp.uint8(min(255, round(sel / 100.0 * 255)))
-                try:
-                    gbs = bench_mode(col, mode, jnp.uint8(0), hi, oh,
-                                     reps=args.reps)
-                except Exception as e:
-                    print(f"{mode} n={n} sel={sel}: ERROR {str(e)[:80]}")
-                    continue
-                rows.append((mode, n, sel, round(gbs, 2)))
-                print(f"{mode:10s} n={n:>11d} sel={sel:5.1f}%  {gbs:7.2f} GB/s",
-                      flush=True)
-    if args.csv:
-        with open(args.csv, "w") as f:
-            f.write("mode,rows,selectivity,gb_per_s\n")
+    fams = {
+        "selectivity": (family_selectivity, "scan-selectivity.csv"),
+        "scaleup": (family_scaleup, "scan-scale-up.csv"),
+        "residency": (family_residency, "scan-residency.csv"),
+    }
+    todo = list(fams) if args.family == "all" else [args.family]
+    for name in todo:
+        fn, csv = fams[name]
+        rows.clear()
+        fn(args.small, args.reps, rows)
+        path = f"{args.csv_dir}/{csv}"
+        with open(path, "w") as f:
+            f.write("family,mode,engine,rows,selectivity,residency,"
+                    "ms,read_gb_s,write_gb_s\n")
             for r in rows:
                 f.write(",".join(map(str, r)) + "\n")
-        print(f"wrote {len(rows)} rows to {args.csv}")
+        print(f"wrote {path} ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
