@@ -27,31 +27,65 @@ from aqp_tpu.parallel.shuffle import (
 from aqp_tpu.relation import Relation
 
 
+def _resolve_engine(engine: str) -> str:
+    """auto -> the Tier-2 Pallas pipeline on TPU, XLA core elsewhere (the
+    CPU-mesh tests and the driver's virtual-device dryrun stay on XLA)."""
+    if engine != "auto":
+        return engine
+    try:
+        return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+    except Exception:
+        return "xla"
+
+
+def _local_count(rk, rp, sk, sp, engine: str):
+    """Shard-local count join.  Returns (matches, checksum, local_overflow).
+
+    engine="pallas" runs the fused fixed-slot rho3 pipeline (the same kernel
+    the single-chip fast path serves — one RHO for all callers,
+    joins.cpp:33-78): shuffle pad rows (negative keys) remap to rho3's
+    designated input pads, which its own partition pass drops.  Slot
+    overflow under adversarial skew is returned for the caller's escalation
+    ladder, never silent."""
+    if engine == "pallas":
+        from aqp_tpu.ops.pallas.rho3 import (
+            PAD_R_INPUT, PAD_S_INPUT, rho_join_count_v3)
+
+        rk = jnp.where(rk < 0, PAD_R_INPUT, rk)
+        sk = jnp.where(sk < 0, PAD_S_INPUT, sk)
+        m, c, ovf = rho_join_count_v3(rk, rp, sk, sp)
+        return m, c, ovf
+    local = mergejoin.merge_join_count(rk, rp, sk, sp)
+    return local.matches, local.checksum, jnp.int32(0)
+
+
 def _dist_join_count_body(rk, rp, sk, sp, axis: str, cap_r: int, cap_s: int,
-                          salt: int = 0):
+                          salt: int = 0, engine: str = "xla"):
     rk2, rp2, ovf_r = shuffle_relation(rk, rp, axis, cap_r, PAD_R, salt=salt)
     sk2, sp2, ovf_s = shuffle_relation(sk, sp, axis, cap_s, PAD_S, salt=salt)
-    local = mergejoin.merge_join_count(rk2, rp2, sk2, sp2)
-    matches = jax.lax.psum(local.matches, axis)
-    checksum = jax.lax.psum(local.checksum, axis)
-    return matches, checksum, ovf_r, ovf_s
+    m, c, ovf_l = _local_count(rk2, rp2, sk2, sp2, engine)
+    matches = jax.lax.psum(m, axis)
+    checksum = jax.lax.psum(c, axis)
+    return matches, checksum, ovf_r + jax.lax.psum(ovf_l, axis), ovf_s
 
 
 def make_dist_join_count(mesh: Mesh, nr_shard: int, ns_shard: int,
                          axis: str = DEFAULT_AXIS, safety: float = 2.0,
-                         salt: int = 0):
+                         salt: int = 0, engine: str = "auto"):
     """Build the jitted SPMD distributed join for given per-shard sizes.
 
     Capacity per destination bucket = (rows_per_shard / n) * safety, the
     static-shape analog of the reference's partition padding
-    (radix_join.cpp:339-345).
+    (radix_join.cpp:339-345).  engine: "auto" | "pallas" | "xla" — the
+    shard-local join tier (see _local_count).
     """
     n = mesh.shape[axis]
     cap_r = max(8, int(nr_shard / n * safety))
     cap_s = max(8, int(ns_shard / n * safety))
 
     body = functools.partial(
-        _dist_join_count_body, axis=axis, cap_r=cap_r, cap_s=cap_s, salt=salt
+        _dist_join_count_body, axis=axis, cap_r=cap_r, cap_s=cap_s,
+        salt=salt, engine=_resolve_engine(engine)
     )
     sharded = shard_map(
         body,
@@ -60,6 +94,74 @@ def make_dist_join_count(mesh: Mesh, nr_shard: int, ns_shard: int,
         out_specs=(P(), P(), P(), P()),
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Ring-rotation join: communication/compute OVERLAP
+
+
+def _dist_join_count_ring_body(rk, rp, sk, sp, axis: str, n: int,
+                               engine: str = "xla"):
+    # disjoint pad sentinels (shard_relation pads BOTH sides with -1; a
+    # shared sentinel would phantom-match here, where no shuffle pack drops
+    # negatives)
+    sk = jnp.where(sk < 0, jnp.int32(-2), sk)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(t, carry):
+        rk_c, rp_c, m, ck = carry
+        # issue the rotation FIRST: join(rk_c) and ppermute(rk_c) have no
+        # mutual data dependence, so XLA's latency-hiding scheduler runs the
+        # ICI transfer under the local join (double-buffered overlap — the
+        # SWWC analog, radix_join.cpp:1010-1055: communication hidden under
+        # compute instead of partition writes hidden under scatter).
+        rk_n = jax.lax.ppermute(rk_c, axis, perm)
+        rp_n = jax.lax.ppermute(rp_c, axis, perm)
+        lm, lc, _ = _local_count(rk_c, rp_c, sk, sp, engine)
+        return rk_n, rp_n, m + lm, ck + lc.astype(jnp.uint32)
+
+    # accumulators are shard-varying (shard_map manual-axes typing)
+    m0 = jax.lax.pvary(jnp.int32(0), (axis,))
+    ck0 = jax.lax.pvary(jnp.uint32(0), (axis,))
+    _, _, m, ck = jax.lax.fori_loop(0, n, step, (rk, rp, m0, ck0))
+    return jax.lax.psum(m, axis), jax.lax.psum(ck, axis)
+
+
+def make_dist_join_count_ring(mesh: Mesh, axis: str = DEFAULT_AXIS,
+                              engine: str = "auto"):
+    """Overlapped ring join: R rotates around the `axis` ring while each
+    shard joins the resident R block against its local S.
+
+    Monolithic all_to_all (the hash-shuffle path) serializes communication
+    before compute; here step t's ppermute of block t+1 rides ICI UNDER the
+    local join of block t (issued first, no data dependence).  No
+    destination capacities, no overflow, skew-immune: every R block meets
+    every S shard exactly once, so the count is exact for ANY key
+    distribution — this is also the broadcast-join analog for small R.
+    Cost: n local joins of (|R|/n, |S|/n) vs one of (|R|/n, |S|/n) for the
+    shuffle path — profitable when R is small or skew defeats hashing.
+    """
+    n = mesh.shape[axis]
+    body = functools.partial(
+        _dist_join_count_ring_body, axis=axis, n=n,
+        engine=_resolve_engine(engine))
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def dist_join_count_ring(relR: Relation, relS: Relation,
+                         mesh: Optional[Mesh] = None,
+                         axis: str = DEFAULT_AXIS, engine: str = "auto"):
+    """Convenience wrapper: returns (matches, checksum)."""
+    mesh = mesh or make_mesh(axis=axis)
+    R = shard_relation(relR, mesh, axis)
+    S = shard_relation(relS, mesh, axis)
+    fn = make_dist_join_count_ring(mesh, axis, engine)
+    return fn(R.key, R.payload, S.key, S.payload)
 
 
 def dist_join_count(relR: Relation, relS: Relation,
@@ -84,11 +186,12 @@ SHUFFLE_SALTS = (0, 0x5BD1E995, 0x27D4EB2F)
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_dist_join_count(mesh, nr_shard, ns_shard, axis, safety, salt):
-    """Per-(mesh, shapes, salt) compiled-program cache: the common
+def _cached_dist_join_count(mesh, nr_shard, ns_shard, axis, safety, salt,
+                            engine="auto"):
+    """Per-(mesh, shapes, salt, engine) compiled-program cache: the common
     no-overflow case pays one trace+compile ever, not one per call."""
     return make_dist_join_count(mesh, nr_shard, ns_shard, axis, safety,
-                                salt=salt)
+                                salt=salt, engine=engine)
 
 
 def dist_join_count_auto(relR: Relation, relS: Relation,
@@ -115,8 +218,16 @@ def dist_join_count_auto(relR: Relation, relS: Relation,
     R = shard_relation(relR, mesh, axis)
     S = shard_relation(relS, mesh, axis)
     nr_s, ns_s = R.num_tuples // n, S.num_tuples // n
-    for i, salt in enumerate(SHUFFLE_SALTS):
-        fn = _cached_dist_join_count(mesh, nr_s, ns_s, axis, safety, salt)
+    # fast-tier ladder: Pallas local join over the shuffle salts, then the
+    # exact XLA core at salt 0 (a rho3 SLOT overflow is a local-skew
+    # artifact the XLA sort core absorbs without re-salting), then skew.
+    eng = _resolve_engine("auto")
+    tiers = [(s, eng) for s in SHUFFLE_SALTS]
+    if eng != "xla":
+        tiers.append((SHUFFLE_SALTS[0], "xla"))
+    for i, (salt, engine) in enumerate(tiers):
+        fn = _cached_dist_join_count(mesh, nr_s, ns_s, axis, safety, salt,
+                                     engine)
         m, ck, ovf_r, ovf_s = fn(R.key, R.payload, S.key, S.payload)
         if int(ovf_r) == 0 and int(ovf_s) == 0:
             return int(m), int(ck), ("hash" if i == 0 else "hash+salt")
@@ -136,22 +247,24 @@ def dist_join_count_auto(relR: Relation, relS: Relation,
 
 
 def _dist_join_count_2d_body(rk, rp, sk, sp, host_axis, chip_axis,
-                             cap_hr, cap_cr, cap_hs, cap_cs, salt: int = 0):
+                             cap_hr, cap_cr, cap_hs, cap_cs, salt: int = 0,
+                             engine: str = "xla"):
     rk2, rp2, ovf_r = shuffle_relation_hier(
         rk, rp, host_axis, chip_axis, cap_hr, cap_cr, PAD_R, salt=salt)
     sk2, sp2, ovf_s = shuffle_relation_hier(
         sk, sp, host_axis, chip_axis, cap_hs, cap_cs, PAD_S, salt=salt)
-    local = mergejoin.merge_join_count(rk2, rp2, sk2, sp2)
-    matches = jax.lax.psum(jax.lax.psum(local.matches, host_axis), chip_axis)
-    checksum = jax.lax.psum(
-        jax.lax.psum(local.checksum, host_axis), chip_axis)
-    return matches, checksum, ovf_r, ovf_s
+    m, c, ovf_l = _local_count(rk2, rp2, sk2, sp2, engine)
+    matches = jax.lax.psum(jax.lax.psum(m, host_axis), chip_axis)
+    checksum = jax.lax.psum(jax.lax.psum(c, host_axis), chip_axis)
+    ovf_l = jax.lax.psum(jax.lax.psum(ovf_l, host_axis), chip_axis)
+    return matches, checksum, ovf_r + ovf_l, ovf_s
 
 
 def make_dist_join_count_2d(mesh: Mesh, nr_shard: int, ns_shard: int,
                             host_axis: str = HOST_AXIS,
                             chip_axis: str = CHIP_AXIS,
-                            safety: float = 2.0, salt: int = 0):
+                            safety: float = 2.0, salt: int = 0,
+                            engine: str = "auto"):
     """Jitted SPMD join over a (host × chip) mesh with the hierarchical
     DCN→ICI shuffle (SURVEY.md §2c rows 5/8: the NUMA→topology analog).
 
@@ -164,7 +277,8 @@ def make_dist_join_count_2d(mesh: Mesh, nr_shard: int, ns_shard: int,
     cap_cs = max(8, int(cap_hs * nh / nc * safety))
     body = functools.partial(
         _dist_join_count_2d_body, host_axis=host_axis, chip_axis=chip_axis,
-        cap_hr=cap_hr, cap_cr=cap_cr, cap_hs=cap_hs, cap_cs=cap_cs, salt=salt)
+        cap_hr=cap_hr, cap_cr=cap_cr, cap_hs=cap_hs, cap_cs=cap_cs, salt=salt,
+        engine=_resolve_engine(engine))
     spec = P((host_axis, chip_axis))
     sharded = shard_map(
         body, mesh=mesh,

@@ -141,3 +141,50 @@ def test_dist_join_non_divisible_sizes():
     assert int(ovf_r) == 0 and int(ovf_s) == 0
     assert int(m) == int(ref.matches) == ns
     assert int(ck) == int(ref.checksum)
+
+
+def test_dist_join_ring_parity():
+    """Ring-rotation join (overlapped ppermute): exact parity with the
+    single-device engine — no capacities, no overflow path at all."""
+    from aqp_tpu.parallel.dist_join import dist_join_count_ring
+
+    nr, ns = 1 << 12, 1 << 14
+    r = create_relation_pk(nr, seed=71)
+    s = create_relation_fk(ns, nr, seed=72)
+    ref = merge_join_count(r.key, r.payload, s.key, s.payload)
+    mesh = make_mesh(8)
+    m, ck = dist_join_count_ring(r, s, mesh)
+    assert int(m) == int(ref.matches) == ns
+    assert int(ck) == int(ref.checksum)
+
+
+def test_dist_join_ring_skew_immune():
+    """The ring join never shuffles by key, so the zipf workload that
+    overflows the hash shuffle (see test_dist_join_skewed_overflow_reported)
+    is exact here — the skew-defeating property the overlap tier buys."""
+    from aqp_tpu.parallel.dist_join import dist_join_count_ring
+
+    nr, ns = 1 << 12, 1 << 14
+    r = create_relation_pk(nr, seed=81)
+    s = create_relation_zipf(ns, nr, 1.25, seed=82)
+    ref = merge_join_count(r.key, r.payload, s.key, s.payload)
+    mesh = make_mesh(8)
+    m, ck = dist_join_count_ring(r, s, mesh)
+    assert int(m) == int(ref.matches)
+    assert int(ck) == int(ref.checksum)
+
+
+def test_dist_join_ring_non_divisible():
+    """Pad rows (key -1 on BOTH sides from shard_relation) must not
+    phantom-match inside the ring body, which sees them raw (no shuffle
+    pack drops them here)."""
+    from aqp_tpu.parallel.dist_join import dist_join_count_ring
+
+    nr, ns = (1 << 12) - 7, (1 << 14) - 3
+    r = create_relation_pk(nr, seed=91)
+    s = create_relation_fk(ns, nr, seed=92)
+    ref = merge_join_count(r.key, r.payload, s.key, s.payload)
+    mesh = make_mesh(8)
+    m, ck = dist_join_count_ring(r, s, mesh)
+    assert int(m) == int(ref.matches) == ns
+    assert int(ck) == int(ref.checksum)
