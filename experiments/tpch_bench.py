@@ -1,37 +1,79 @@
-"""TPC-H query benchmark (paper-8-full-query-optimization-impact.py analog)."""
+"""TPC-H query benchmark (paper-8-full-query-optimization-impact.py analog).
+
+Reference: SGXv2Scripts/scripts/paper-8-full-query-optimization-impact.py —
+the per-query impact of plan optimization.  Here the two plans are:
+  staged — per-phase jit boundaries (the reference's selection_1../join_1..
+           timer contract, tpch.cpp:36-309), per-phase timings recorded;
+  fused  — ONE jitted program per query (queries/fused.py: predicate pushed
+           into the Pallas join's pad-key domain), the serving path.
+Writes results/tpch.csv: one row per (query, plan, rep).
+"""
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-from aqp_tpu.queries import generate_tpch_tables, tpch_q3, tpch_q10, tpch_q12, tpch_q19
+from aqp_tpu.utils import ensure_platform_from_env, hard_sync
+
+ensure_platform_from_env()
+
+from aqp_tpu.queries import (
+    generate_tpch_tables, tpch_q3, tpch_q10, tpch_q12, tpch_q19)
+from aqp_tpu.queries.fused import (
+    tpch_q3_fused, tpch_q10_fused, tpch_q12_fused, tpch_q19_fused)
 
 
 def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3):
     l, o, c, p, n = generate_tpch_tables(scale=scale)
     rows = []
-    for name, fn, args in [
+    staged = [
         ("Q3", tpch_q3, (c, o, l)),
         ("Q10", tpch_q10, (c, o, l, n)),
         ("Q12", tpch_q12, (l, o)),
         ("Q19", tpch_q19, (l, p)),
-    ]:
+    ]
+    lrows = l.shipdate.shape[0]
+    for name, fn, args in staged:
+        fn(*args, algorithm=algorithm)  # warmup: compiles out of the timing
         for rep in range(reps):
             res = fn(*args, algorithm=algorithm)
             t = res.timings
             print(
-                f"{name} sf={scale} alg={algorithm} rep={rep}: "
+                f"{name} staged sf={scale} alg={algorithm} rep={rep}: "
                 f"{t.mrows_per_s:.1f} M rows/s matches={res.matches} "
-                f"phases={ {k: round(v,4) for k,v in t.phases.items()} }"
+                f"phases={ {k: round(v, 4) for k, v in t.phases.items()} }",
+                flush=True,
             )
-            rows.append((name, scale, algorithm, rep, t.mrows_per_s, res.matches))
+            rows.append((name, scale, "staged", algorithm, rep,
+                         round(t.mrows_per_s, 2), int(res.matches)))
+    fused = [
+        ("Q3", tpch_q3_fused, (c, o, l)),
+        ("Q10", tpch_q10_fused, (c, o, l, n)),
+        ("Q12", tpch_q12_fused, (l, o)),
+        ("Q19", tpch_q19_fused, (l, p)),
+    ]
+    for name, fn, args in fused:
+        m, ok = fn(*args)
+        hard_sync(m)
+        assert bool(ok), f"{name} fused plan overflowed its bounds"
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            m, ok = fn(*args)
+            matches = int(m)  # device->host fetch = hard sync
+            dt = time.perf_counter() - t0
+            mrs = lrows / dt / 1e6  # lineitem rows, the driving table
+            print(f"{name} fused sf={scale} rep={rep}: {mrs:.1f} M rows/s "
+                  f"matches={matches} ({dt * 1e3:.1f} ms)", flush=True)
+            rows.append((name, scale, "fused", "RHO", rep,
+                         round(mrs, 2), matches))
     import os
 
     os.makedirs("results", exist_ok=True)
     with open("results/tpch.csv", "w") as f:
-        f.write("query,scale,alg,rep,throughput_mrows,matches\n")
+        f.write("query,scale,plan,alg,rep,throughput_mrows,matches\n")
         for r in rows:
             f.write(",".join(map(str, r)) + "\n")
+    print(f"wrote results/tpch.csv ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
