@@ -1,0 +1,98 @@
+"""CrkJoin mechanics: partition tree, lazy cross-query reuse, windowed
+per-partition join (CrkJoin/Join.hpp semantics, TPU re-design)."""
+
+import numpy as np
+import pytest
+
+from aqp_tpu.config import JoinConfig
+from aqp_tpu.data import create_relation_pk, create_relation_fk
+from aqp_tpu.joins.crk import (
+    CrackedRelation, crack_relation, crack_to, crk_join_cracked)
+from aqp_tpu.ops.mergejoin import merge_join_count
+from aqp_tpu.utils.timing import PhaseTimer
+
+
+def _workload(nr=1 << 10, ns=1 << 12):
+    r = create_relation_pk(nr, seed=201)
+    s = create_relation_fk(ns, nr, seed=202)
+    return r, s
+
+
+def test_tree_bounds_are_partition_spans():
+    """bounds[p]..bounds[p+1] must exactly span the rows whose top-depth
+    key bits equal p (the PTreeNode start/num contract)."""
+    r, _ = _workload()
+    cr = crack_to(crack_relation(r), 3)
+    key = np.asarray(cr.key)
+    bounds = np.asarray(cr.bounds)
+    bucket = key >> (cr.key_bits - 3)
+    assert bounds[0] == 0 and bounds[-1] == key.shape[0]
+    for p in range(1 << 3):
+        seg = bucket[bounds[p]:bounds[p + 1]]
+        assert (seg == p).all()
+    # grouped: bucket ids non-decreasing after cracking
+    assert (np.diff(bucket) >= 0).all()
+
+
+def test_crack_reuse_is_lazy():
+    """A second join on the SAME cracked stores must pay zero crack rounds
+    — cracking state persists across queries (the paper's core property)."""
+    r, s = _workload()
+    cfg = JoinConfig()
+    import math
+    kb = max(1, math.ceil(math.log2(r.num_tuples))) + 1
+    crR, crS = crack_relation(r, kb), crack_relation(s, kb)
+    pt1 = PhaseTimer()
+    out1, crR, crS = crk_join_cracked(crR, crS, cfg, 4, pt1)
+    assert "partition" in pt1.t.phases  # first query cracks
+    pt2 = PhaseTimer()
+    out2, crR2, crS2 = crk_join_cracked(crR, crS, cfg, 4, pt2)
+    assert "partition" not in pt2.t.phases  # second query reuses
+    assert crR2 is crR and crS2 is crS  # crack_to returned the same stores
+    assert int(out1.matches) == int(out2.matches) == s.num_tuples
+    assert int(out1.checksum) == int(out2.checksum)
+
+
+def test_deeper_query_refines_incrementally():
+    """A deeper query on a shallow-cracked store cracks only the missing
+    levels (depth 2 -> 4: exactly 2 rounds per side)."""
+    r, s = _workload()
+    import math
+    kb = max(1, math.ceil(math.log2(r.num_tuples))) + 1
+    crR = crack_to(crack_relation(r, kb), 2)
+    assert crR.depth == 2
+    pt = PhaseTimer()
+    crR2 = crack_to(crR, 4, pt)
+    assert crR2.depth == 4
+    assert "partition" in pt.t.phases  # the 2 missing rounds ran
+    # and the refinement is real: grouped by top-4 bits now
+    key = np.asarray(crR2.key)
+    bucket = key >> (crR2.key_bits - 4)
+    assert (np.diff(bucket) >= 0).all()
+
+
+def test_windowed_materialize_multiset():
+    """Windowed per-partition materialize must multiset-equal the global
+    materialized join (holes keyed -3, chunked-table contract)."""
+    import jax.numpy as jnp
+    from aqp_tpu.ops.mergejoin import merge_join_materialize
+
+    r, s = _workload()
+    cfg = JoinConfig(materialize=True)
+    import math
+    kb = max(1, math.ceil(math.log2(r.num_tuples))) + 1
+    out, _, _ = crk_join_cracked(
+        crack_relation(r, kb), crack_relation(s, kb), cfg, 3)
+    ref = merge_join_materialize(r.key, r.payload, s.key, s.payload,
+                                 s.num_tuples)
+    assert int(out.matches) == int(ref.matches) == s.num_tuples
+    assert int(out.checksum) == int(ref.checksum)
+    live = np.asarray(out.key) != -3
+    assert live.sum() == s.num_tuples
+    got = sorted(zip(np.asarray(out.key)[live].tolist(),
+                     np.asarray(out.r_payload)[live].tolist(),
+                     np.asarray(out.s_payload)[live].tolist()))
+    want = sorted(zip(np.asarray(ref.key).tolist(),
+                      np.asarray(ref.r_payload).tolist(),
+                      np.asarray(ref.s_payload).tolist()))
+    assert got == want
