@@ -205,8 +205,81 @@ def NPO_no(relR, relS, cfg):
     return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2), window=4)
 
 
+# ---------------------------------------------------------------------------
+# NPBC_st — true bucket-chaining mechanics
+
+
+@functools.partial(jax.jit, static_argnames=("nb_bits",))
+def npbc_build(r_key, r_payload, nb_bits: int):
+    """Bucket-chaining build (no_partitioning_bucket_chaining_join.cpp:51-85):
+    the reference threads a `next` array through a `bucket` head array; the
+    TPU form GROUPS rows by bucket (one stable sort) and keeps the bucket
+    array as span offsets — a chain IS the contiguous span, walk order
+    preserved.  Returns (grouped keys, grouped payloads, bucket_offsets,
+    longest_chain)."""
+    nb = 1 << nb_bits
+    b = fib_hash32(r_key, nb_bits)
+    b_s, rk_s, rp_s = jax.lax.sort((b, r_key, r_payload), num_keys=1,
+                                   is_stable=True)
+    bounds = jnp.searchsorted(
+        b_s, jnp.arange(nb + 1, dtype=b_s.dtype), side="left"
+    ).astype(jnp.int32)
+    longest = jnp.max(bounds[1:] - bounds[:-1])
+    return rk_s, rp_s, bounds, longest
+
+
+@functools.partial(jax.jit, static_argnames=("nb_bits", "chain_cap"))
+def npbc_probe_count(rk_s, rp_s, bounds, s_key, s_payload, nb_bits: int,
+                     chain_cap: int):
+    """Chain-walk probe (…:95-125): each S row walks its bucket's span,
+    counting EVERY equal key — exact under duplicate R keys too (the
+    chain holds them all), unlike the open-addressing engines."""
+    sb = fib_hash32(s_key, nb_bits)
+    start = bounds[sb]
+    end = bounds[sb + 1]
+    matches = jnp.zeros_like(s_key, dtype=jnp.int32)
+    ck = jnp.zeros_like(s_key, dtype=jnp.uint32)
+    for j in range(chain_cap):  # static bound = longest chain (caller)
+        pos = start + j
+        live = pos < end
+        k = jnp.take(rk_s, jnp.minimum(pos, rk_s.shape[0] - 1))
+        hit = live & (k == s_key)
+        matches = matches + hit.astype(jnp.int32)
+        ck = ck + jnp.where(
+            hit,
+            jnp.take(rp_s, jnp.minimum(pos, rp_s.shape[0] - 1)
+                     ).astype(jnp.uint32) + s_payload.astype(jnp.uint32),
+            jnp.uint32(0))
+    return (jnp.sum(matches, dtype=jnp.int32), jnp.sum(ck, dtype=jnp.uint32))
+
+
 @register("NPBC_st")
 def NPBC_st(relR, relS, cfg):
-    """Bucket-chaining analog (next/bucket arrays) — open addressing with
-    load 1.0 plays the chain role."""
-    return _nopart(relR, relS, cfg.replace(load_factor=1.0), window=max(16, cfg.probe_window))
+    """Bucket-chaining join: grouped-span chains + walk-the-chain probes
+    (next/bucket array analog, no_partitioning_bucket_chaining_join.cpp).
+    Distinct mechanics from the PHT/NPO open-addressing family: counts all
+    duplicates in a chain, bucket count = next_pow2(|R|) as the reference
+    sizes it."""
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    nb_bits = max(4, math.ceil(math.log2(max(2, relR.num_tuples))))
+    rk_s, rp_s, bounds, longest = pt.time_fn(
+        "build", npbc_build, relR.key, relR.payload, nb_bits)
+    # static chain budget: the device-measured longest chain, pow2-rounded
+    # for compile-cache stability (Poisson tail: ~8-16 at load 1)
+    cap = 1 << max(1, math.ceil(math.log2(max(1, int(longest)))))
+    if cfg.materialize:
+        # chains are grouped spans; the windowed-join materializer in the
+        # sort-merge core covers output emission — NPBC materialize routes
+        # there (same fallback the reference takes for its chain output)
+        out = pt.time_fn(
+            "probe", mergejoin.merge_join_materialize,
+            relR.key, relR.payload, relS.key, relS.payload,
+            result_capacity(relS, cfg))
+    else:
+        m, c = pt.time_fn(
+            "probe", npbc_probe_count, rk_s, rp_s, bounds,
+            relS.key, relS.payload, nb_bits, cap)
+        out = mergejoin.JoinCounts(m, c)
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t

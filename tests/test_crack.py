@@ -96,3 +96,21 @@ def test_windowed_materialize_multiset():
                       np.asarray(ref.r_payload).tolist(),
                       np.asarray(ref.s_payload).tolist()))
     assert got == want
+
+
+def test_npbc_chain_counts_duplicates():
+    """NPBC's chain walk must count EVERY duplicate R key in a bucket —
+    the semantic the open-addressing engines can't provide."""
+    import jax.numpy as jnp
+    from aqp_tpu.joins.api import run_join
+    from aqp_tpu.ops.mergejoin import merge_join_count_general
+    from aqp_tpu.relation import Relation
+
+    rk = jnp.array([1, 1, 2, 3, 3, 3, 9], jnp.int32)
+    rp = jnp.array([10, 11, 20, 30, 31, 32, 90], jnp.int32)
+    sk = jnp.array([1, 3, 3, 4, 9, 2], jnp.int32)
+    sp = jnp.array([100, 300, 301, 400, 900, 200], jnp.int32)
+    ref = merge_join_count_general(rk, rp, sk, sp)
+    res, _ = run_join(Relation(rk, rp), Relation(sk, sp), "NPBC_st")
+    assert int(res.matches) == int(ref.matches) == 2 + 3 + 3 + 0 + 1 + 1
+    assert int(res.checksum) == int(ref.checksum)
