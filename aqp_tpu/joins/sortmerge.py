@@ -67,6 +67,38 @@ def _bitonic_clean_rows(k, p):
     return k, p
 
 
+def _merge_pair_rows(ak, ap, bk, bp):
+    """Merge-path pair merge: each row of a and b is sorted; produce the
+    sorted 2w-wide merge via rank computation (searchsorted) + scatter —
+    the parallel 'merge path' algorithm, O(n) data movement per level.
+
+    Replaces the bitonic clean for LARGE widths: a bitonic merge of width
+    2^26 unrolls 26 compare-exchange stages into the program (the full tree
+    is ~160 stages at headline scale, which crashes the TPU compiler);
+    merge path is 4 ops per level regardless of width.  Stability/dups:
+    a-elements rank side='left' into b, b-elements side='right' into a —
+    ties interleave without collisions (standard merge-path tie-break)."""
+    m, w = ak.shape
+    ia = jax.vmap(lambda a, b: jnp.searchsorted(b, a, side="left"))(ak, bk)
+    ib = jax.vmap(lambda b, a: jnp.searchsorted(a, b, side="right"))(bk, ak)
+    base = jnp.arange(w, dtype=ia.dtype)
+    da = base[None, :] + ia
+    db = base[None, :] + ib
+    rows = jnp.arange(m, dtype=ia.dtype)[:, None]
+    out_k = jnp.zeros((m, 2 * w), ak.dtype)
+    out_p = jnp.zeros((m, 2 * w), ap.dtype)
+    out_k = out_k.at[rows, da].set(ak, unique_indices=True)
+    out_k = out_k.at[rows, db].set(bk, unique_indices=True)
+    out_p = out_p.at[rows, da].set(ap, unique_indices=True)
+    out_p = out_p.at[rows, db].set(bp, unique_indices=True)
+    return out_k, out_p
+
+
+# above this many total elements the unrolled bitonic tree's program size
+# is compiler-hostile; the merge tree switches to merge-path levels
+_BITONIC_MAX_ELEMS = 1 << 22
+
+
 @jax.jit
 def _mway_join(rk, rp, sk, sp):
     """MWAY core: run-sort + binary merge tree + propagation join."""
@@ -89,15 +121,21 @@ def _mway_join(rk, rp, sk, sp):
     pv = pay.reshape(PARTFANOUT, run)
     kv, pv = jax.lax.sort((kv, pv), num_keys=1)  # sorts along last axis
 
-    # multiway merge: log2(PARTFANOUT) binary rounds of bitonic pair-merges
+    # multiway merge: log2(PARTFANOUT) binary rounds of pair-merges —
+    # bitonic networks while the program stays small, merge-path levels
+    # beyond (see _merge_pair_rows)
+    use_bitonic = skey.shape[0] <= _BITONIC_MAX_ELEMS
     runs = PARTFANOUT
     width = run
     while runs > 1:
         a_k, b_k = kv[0::2], kv[1::2]
         a_p, b_p = pv[0::2], pv[1::2]
-        kv = jnp.concatenate([a_k, b_k[:, ::-1]], axis=1)
-        pv = jnp.concatenate([a_p, b_p[:, ::-1]], axis=1)
-        kv, pv = _bitonic_clean_rows(kv, pv)
+        if use_bitonic:
+            kv = jnp.concatenate([a_k, b_k[:, ::-1]], axis=1)
+            pv = jnp.concatenate([a_p, b_p[:, ::-1]], axis=1)
+            kv, pv = _bitonic_clean_rows(kv, pv)
+        else:
+            kv, pv = _merge_pair_rows(a_k, a_p, b_k, b_p)
         runs //= 2
         width *= 2
 

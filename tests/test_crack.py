@@ -114,3 +114,25 @@ def test_npbc_chain_counts_duplicates():
     res, _ = run_join(Relation(rk, rp), Relation(sk, sp), "NPBC_st")
     assert int(res.matches) == int(ref.matches) == 2 + 3 + 3 + 0 + 1 + 1
     assert int(res.checksum) == int(ref.checksum)
+
+
+def test_mway_merge_path_levels():
+    """The large-width merge tree (merge-path levels) must agree with the
+    small-width bitonic tree and the oracle — including duplicate keys
+    (tie interleaving must not drop or collide rows)."""
+    import jax.numpy as jnp
+    from aqp_tpu.joins import sortmerge
+    from aqp_tpu.ops.mergejoin import merge_join_count
+
+    r = create_relation_pk(1 << 11, seed=401)
+    s = create_relation_fk(1 << 13, 1 << 11, seed=402)
+    ref = merge_join_count(r.key, r.payload, s.key, s.payload)
+    old = sortmerge._BITONIC_MAX_ELEMS
+    try:
+        sortmerge._BITONIC_MAX_ELEMS = 0  # force merge-path levels
+        got, _ = sortmerge._mway_join.__wrapped__(
+            r.key, r.payload, s.key, s.payload)
+    finally:
+        sortmerge._BITONIC_MAX_ELEMS = old
+    assert int(got.matches) == int(ref.matches) == s.num_tuples
+    assert int(got.checksum) == int(ref.checksum)
