@@ -107,30 +107,81 @@ def plot_skew(rows, out):
 
 
 def plot_scan(rows, out):
-    agg = _agg(rows, ("mode", "selectivity"), "gb_per_s")
-    modes = sorted({k[0] for k in agg})
-    fig, ax = plt.subplots(figsize=(6, 4))
-    for mode in modes:
+    """Selectivity family of the spectrum CSV: read GB/s by engine:mode
+    (write-rate.csv / selectivity-sweep analogs)."""
+    rows = [r for r in rows if r.get("family", "selectivity") == "selectivity"]
+    agg = _agg(rows, ("engine", "mode", "selectivity"), "read_gb_s")
+    series = sorted({(k[0], k[1]) for k in agg})
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for eng, mode in series:
         pts = sorted(
-            (float(k[1]), v[0]) for k, v in agg.items() if k[0] == mode
+            (float(k[2]), v[0]) for k, v in agg.items()
+            if (k[0], k[1]) == (eng, mode)
         )
-        ax.plot([p[0] for p in pts], [p[1] for p in pts], label=mode, marker="o")
+        ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                label=f"{eng}:{mode}", marker="o",
+                linestyle="-" if eng == "pallas" else "--")
     ax.set_xlabel("selectivity %")
-    ax.set_ylabel("GB/s")
-    ax.set_title("Column scan (cf. SimdScanMulti plots)")
-    ax.legend()
+    ax.set_ylabel("read GB/s")
+    ax.set_yscale("log")
+    ax.set_title("Column scan spectrum (cf. SimdScanMulti plots)")
+    ax.legend(fontsize=7, ncol=2)
     fig.tight_layout()
     fig.savefig(out)
 
 
 def plot_tpch(rows, out):
-    agg = _agg(rows, ("query",), "throughput_mrows")
-    qs = sorted(agg)
+    agg = _agg(rows, ("query", "plan"), "throughput_mrows")
+    qs = sorted({k[0] for k in agg})
+    plans = sorted({k[1] for k in agg})
     fig, ax = plt.subplots(figsize=(6, 4))
-    ax.bar([q[0] for q in qs], [agg[q][0] for q in qs],
-           yerr=[agg[q][1] for q in qs], capsize=3)
+    w = 0.8 / max(1, len(plans))
+    for i, plan in enumerate(plans):
+        xs = [j + i * w for j in range(len(qs))]
+        ms = [agg.get((q, plan), (0, 0))[0] for q in qs]
+        sd = [agg.get((q, plan), (0, 0))[1] for q in qs]
+        ax.bar(xs, ms, width=w, yerr=sd, capsize=3, label=plan)
+    ax.set_xticks([j + w / 2 for j in range(len(qs))])
+    ax.set_xticklabels(qs)
     ax.set_ylabel("M rows/s")
-    ax.set_title("TPC-H queries (cf. paper-8)")
+    ax.set_title("TPC-H staged vs fused (cf. paper-8)")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out)
+
+
+def plot_weak_scaling(rows, out):
+    agg = _agg(rows, ("mode", "engine", "devices"), "throughput_mrows")
+    series = sorted({(k[0], k[1]) for k in agg})
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for mode, eng in series:
+        pts = sorted(
+            (int(k[2]), v[0]) for k, v in agg.items()
+            if (k[0], k[1]) == (mode, eng)
+        )
+        ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                label=f"{mode}:{eng}", marker="o")
+    ax.set_xscale("log", base=2)
+    ax.set_xlabel("devices")
+    ax.set_ylabel("M input rows/s")
+    ax.set_title("Mesh scaling (thread-scaling analog)")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out)
+
+
+def plot_cracking(rows, out):
+    agg = _agg(rows, ("variant", "query"), "seconds")
+    variants = sorted({k[0] for k in agg})
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for v in variants:
+        pts = sorted((int(k[1]), a[0]) for k, a in agg.items() if k[0] == v)
+        ax.plot([p[0] for p in pts], [p[1] * 1e3 for p in pts],
+                label=v, marker="o")
+    ax.set_xlabel("query # in sequence")
+    ax.set_ylabel("ms / query")
+    ax.set_title("Cracking amortization (cf. CrkJoin)")
+    ax.legend()
     fig.tight_layout()
     fig.savefig(out)
 
@@ -141,6 +192,8 @@ FAMILIES = {
     "skew": plot_skew,
     "scan": plot_scan,
     "tpch": plot_tpch,
+    "weak-scaling": plot_weak_scaling,
+    "cracking": plot_cracking,
 }
 
 
