@@ -235,6 +235,7 @@ def cmd_matrix(args):
         skews=tuple(float(z) for z in args.skews.split(",")) if args.skews else (None,),
         materialize=(True, False) if args.materialize == "both" else (args.materialize == "1",),
         reps=args.reps,
+        profile_dir=args.profile,
     )
     rows = run_experiments(cfg)
     if args.csv:
@@ -306,6 +307,8 @@ def main(argv=None):
     m.add_argument("--reps", type=int, default=3)
     m.add_argument("--csv", default=None)
     m.add_argument("--append", action="store_true")
+    m.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a device trace per rep; adds device_total_s rows")
     m.set_defaults(fn=cmd_matrix)
 
     args = p.parse_args(argv)

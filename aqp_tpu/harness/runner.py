@@ -60,6 +60,9 @@ class ExperimentConfig:
     # time never lands in the measured rows (the reference likewise plots
     # post-warmup repetitions, runner.py:204)
     warmup: bool = True
+    # capture a jax.profiler trace per measured rep and emit a
+    # `device_total_s` row (PerfEvent-counter analog; utils/profiler.py)
+    profile_dir: Optional[str] = None
 
     def enumerate(self):
         return itertools.product(
@@ -96,7 +99,19 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
             if cfg.warmup and (alg, wkey, mat) not in warmed:
                 run_join(relR, relS, alg, jc)  # compile run, unrecorded
                 warmed.add((alg, wkey, mat))
-            result, t = run_join(relR, relS, alg, jc)
+            if cfg.profile_dir:
+                import os
+
+                from aqp_tpu.utils import profiler
+
+                sub = os.path.join(cfg.profile_dir,
+                                   f"{alg}_{nr}x{ns}_r{rep}")
+                with profiler.trace(sub):
+                    result, t = run_join(relR, relS, alg, jc)
+                prep = profiler.parse_trace(sub)
+            else:
+                prep = None
+                result, t = run_join(relR, relS, alg, jc)
         except Exception as e:  # record failures like runner.py:236-244
             log.error(f"{alg} {nr}x{ns} failed: {e}")
             rows.append(_row(backend, alg, mat, nr, ns, skew, sel, rep, "error", 1.0))
@@ -110,6 +125,9 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
             rows.append({**base, "measurement": f"phase_{phase}_s", "value": secs})
         rows.append({**base, "measurement": "matches", "value": float(t.matches)})
         rows.append({**base, "measurement": "throughput_mrows", "value": t.mrows_per_s})
+        if prep is not None:
+            rows.append({**base, "measurement": "device_total_s",
+                         "value": prep.device_total_s})
         log.info(
             f"{alg} {nr}x{ns} skew={skew} sel={sel} mat={mat} rep={rep}: "
             f"{t.mrows_per_s:.1f} M rows/s, {t.matches} matches"
