@@ -24,7 +24,6 @@ streaming totals can exceed 2^31.
 
 from __future__ import annotations
 
-import functools
 from typing import Iterable, Tuple
 
 import jax
