@@ -149,7 +149,20 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     return JoinResult(matches=m, checksum=c), pt.t
-        # adversarial skew beyond every salt: exact XLA core
+        # duplicate-key skew beyond every salt: heavy-hitter split tier
+        # (count only) — the single-chip task-stealing analog
+        # (joins/skewtier.py); residual overflow escalates further.
+        if not cfg.materialize:
+            from aqp_tpu.joins.skewtier import rho_skew_split_count
+
+            m, c, ovf = pt.time_fn(
+                "join", rho_skew_split_count,
+                relR.key, relR.payload, relS.key, relS.payload,
+                RETRY_SALTS[0])
+            if int(ovf) == 0:
+                pt.t.phases["total"] = time.perf_counter() - t0
+                return JoinResult(matches=m, checksum=c), pt.t
+        # adversarial skew beyond every tier: exact XLA core
         if cfg.materialize:
             out = pt.time_fn(
                 "join", mergejoin.merge_join_materialize,

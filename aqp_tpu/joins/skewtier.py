@@ -1,0 +1,122 @@
+"""Single-chip skew tier for the RHO fast path: heavy-hitter split.
+
+The reference absorbs single-node skew with dynamic task-queue stealing of
+oversized partitions (radix_join.cpp:1086-1335).  The fixed-slot Pallas
+pipeline instead splits the problem structurally (the same philosophy as
+the distributed skew engine, parallel/skew.py, applied on one chip):
+
+  1. DETECT candidate heavy S keys from a strided sample (top-k run
+     lengths of the sorted sample — cheap: |S|/64 rows).  Sampling can
+     miss a heavy key only to have the residual pipeline OVERFLOW, which
+     is reported and escalates to the exact XLA core — never silently
+     wrong.
+  2. COUNT heavy matches exactly with fused masked reductions: for each
+     candidate key h, cnt_S(h), sum_S payload, R presence and R payload
+     are single fused broadcast-reduces (no scatter, no sort).  Unique R
+     keys make the per-key contribution closed-form:
+         matches_h = present_R(h) * cnt_S(h)
+         checksum_h = cnt_S(h) * r_payload(h) + sum_S_payload(h)  (mod 2^32)
+  3. REMAP heavy S rows to the pipeline's designated pad key (dropped at
+     K1) and run the fixed-slot pipeline on the residual; heavy R rows
+     stay (unique — they match nothing once their S rows are gone).
+
+Total = residual pipeline + closed-form heavy contributions, exact for
+unique R keys (the engine's standing contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# top-k candidate capacity: covers every key above the slot-overflow mass
+# for Zipf z <= 2 at headline sizes (see _needs math in rho3 capacity docs)
+H = 128
+SAMPLE_STRIDE = 64
+# a sampled run must repeat this often to be a candidate (global mass
+# ~ stride * this; far below the slot-overflow threshold => conservative)
+MIN_SAMPLE_RUN = 8
+
+
+@functools.partial(jax.jit, static_argnames=("h", "stride"))
+def heavy_candidates(s_key, h: int = H, stride: int = SAMPLE_STRIDE):
+    """Up to h candidate heavy keys from a strided sample (ascending;
+    slots without a qualifying run hold -1)."""
+    sample = jnp.sort(s_key[::stride])
+    n = sample.shape[0]
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), sample[1:] != sample[:-1]])
+    end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(start, idx, -1))
+    length_at_end = jnp.where(end, idx - run_start + 1, 0)
+    cand_len, cand_pos = jax.lax.top_k(length_at_end, h)
+    key_at = sample[cand_pos]
+    out = jnp.where(cand_len >= MIN_SAMPLE_RUN, key_at, -1)
+    return jnp.sort(out)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def heavy_contrib(rk, rp, sk, sp, hk):
+    """Exact closed-form contribution of the candidate keys, and the
+    residual S keys (heavy rows remapped to the pipeline pad).
+
+    Returns (matches, checksum, sk_residual)."""
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+
+    valid = hk >= 0  # (H,)
+
+    def stats(key, pay, chunk=1 << 22):
+        """Per-candidate (count, payload-sum mod 2^32) via fused
+        broadcast-reduces, row-chunked so the (chunk, H) compare tile
+        never materializes at full length."""
+        n = key.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            key = jnp.concatenate([key, jnp.full((pad,), -1, key.dtype)])
+            pay = jnp.concatenate([pay, jnp.zeros((pad,), pay.dtype)])
+        kc = key.reshape(-1, chunk)
+        pc = pay.reshape(-1, chunk)
+
+        def body(carry, kp):
+            c, s = carry
+            k, p = kp
+            eq = k[:, None] == hk[None, :]
+            c = c + jnp.sum(eq.astype(jnp.int32), axis=0)
+            s = s + jnp.sum(jnp.where(eq, p[:, None].astype(jnp.uint32), 0),
+                            axis=0, dtype=jnp.uint32)
+            return (c, s), None
+
+        (cnt, psum), _ = jax.lax.scan(
+            body, (jnp.zeros((hk.shape[0],), jnp.int32),
+                   jnp.zeros((hk.shape[0],), jnp.uint32)), (kc, pc))
+        return cnt, psum
+
+    cnt, sps = stats(sk, sp)
+    rcnt, rph = stats(rk, rp)
+    pres = rcnt > 0
+    use = valid & pres
+    matches = jnp.sum(jnp.where(use, cnt, 0), dtype=jnp.int32)
+    checksum = jnp.sum(
+        jnp.where(use, cnt.astype(jnp.uint32) * rph + sps, jnp.uint32(0)),
+        dtype=jnp.uint32)
+    # residual: drop S rows of every VALID candidate (whether or not the
+    # key exists in R — a missing key matches nothing either way)
+    pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
+    is_heavy = (hk[pos] == sk) & (sk >= 0)
+    sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
+    return matches, checksum, sk_res
+
+
+def rho_skew_split_count(rk, rp, sk, sp, salt):
+    """Heavy-split count join: returns (matches, checksum, overflow).
+    overflow > 0 (residual still overflows a slot) => caller escalates to
+    the exact XLA core."""
+    from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3
+
+    hk = heavy_candidates(sk)
+    mh, ch, sk_res = heavy_contrib(rk, rp, sk, sp, hk)
+    m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt)
+    return m + mh, c + ch, ovf

@@ -163,3 +163,23 @@ def test_dist_pallas_tier_single_shard(workload):
     m2, ck2 = dist_join_count_ring(relR, relS, mesh)
     assert int(m2) == int(ref.matches)
     assert int(ck2) == int(ref.checksum)
+
+
+def test_rho_dispatcher_skew_tier():
+    """Zipf z=1.25 overflows the fixed slots under every salt; the
+    dispatcher must recover through the heavy-split tier (exact count,
+    Pallas-speed residual) rather than dropping to the XLA core."""
+    import jax
+    from aqp_tpu.data import create_relation_pk, create_relation_zipf
+    from aqp_tpu.joins.api import run_join
+    from aqp_tpu.ops import mergejoin
+
+    nr, ns = NR, NS
+    relR = create_relation_pk(nr, seed=555)
+    relS = create_relation_zipf(ns, nr, 1.25, seed=999)
+    jax.block_until_ready((relR.key, relS.key))
+    ref = mergejoin.merge_join_count(
+        relR.key, relR.payload, relS.key, relS.payload)
+    res, t = run_join(relR, relS, "RHO")
+    assert int(res.matches) == int(ref.matches)
+    assert int(res.checksum) == int(ref.checksum)
