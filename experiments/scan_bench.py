@@ -134,6 +134,16 @@ def run_config(fns, mode, sel, n, reps):
     return t, read_gbs, write_gbs
 
 
+def run_config_safe(fns, mode, sel, n, reps):
+    """One config must not kill the family (e.g. OOM of a 2^29 write-mode
+    output buffer); errors are logged and skipped."""
+    try:
+        return run_config(fns, mode, sel, n, reps)
+    except Exception as e:
+        log(f"ERROR {mode} n={n} sel={sel}: {str(e)[:90]}")
+        return None
+
+
 def family_selectivity(small, reps, rows):
     n = 1 << (20 if small else 26)
     col = make_col(n)
@@ -146,7 +156,10 @@ def family_selectivity(small, reps, rows):
         fns = make_fns(col, n, engine, cap_rows, dlo, dhi)
         for mode in MODES:
             for sel in sels:
-                t, r, w = run_config(fns, mode, sel, n, reps)
+                got = run_config_safe(fns, mode, sel, n, reps)
+                if got is None:
+                    continue
+                t, r, w = got
                 rows.append(("selectivity", mode, engine, n, sel,
                              "resident", round(t * 1e3, 3), round(r, 2),
                              round(w, 2)))
@@ -166,7 +179,10 @@ def family_scaleup(small, reps, rows):
                 continue
             fns = make_fns(col, n, engine, cap_rows, dlo, dhi)
             for mode in ("count", "values"):  # one compute-, one write-bound
-                t, r, w = run_config(fns, mode, 10.0, n, reps)
+                got = run_config_safe(fns, mode, 10.0, n, reps)
+                if got is None:
+                    continue
+                t, r, w = got
                 rows.append(("scaleup", mode, engine, n, 10.0, "resident",
                              round(t * 1e3, 3), round(r, 2), round(w, 2)))
                 log(f"scaleup {engine}:{mode} n={n:>10d} read {r:7.2f} GB/s")
