@@ -149,12 +149,22 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     return JoinResult(matches=m, checksum=c), pt.t
-        # duplicate-key skew beyond every salt: heavy-hitter split tier
-        # (count only) — the single-chip task-stealing analog
-        # (joins/skewtier.py); residual overflow escalates further.
-        if not cfg.materialize:
-            from aqp_tpu.joins.skewtier import rho_skew_split_count
+        # duplicate-key skew beyond every salt: heavy-hitter split tier —
+        # the single-chip task-stealing analog (joins/skewtier.py);
+        # residual overflow escalates further.
+        from aqp_tpu.joins.skewtier import (
+            rho_skew_split_count, rho_skew_split_materialize)
 
+        if cfg.materialize:
+            m, c, ok, orp, osp, ovf = pt.time_fn(
+                "join", rho_skew_split_materialize,
+                relR.key, relR.payload, relS.key, relS.payload,
+                RETRY_SALTS[0])
+            if int(ovf) == 0:
+                pt.t.phases["total"] = time.perf_counter() - t0
+                return JoinResult(matches=m, checksum=c, key=ok,
+                                  r_payload=orp, s_payload=osp), pt.t
+        else:
             m, c, ovf = pt.time_fn(
                 "join", rho_skew_split_count,
                 relR.key, relR.payload, relS.key, relS.payload,

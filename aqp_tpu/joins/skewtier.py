@@ -120,3 +120,49 @@ def rho_skew_split_count(rk, rp, sk, sp, salt):
     mh, ch, sk_res = heavy_contrib(rk, rp, sk, sp, hk)
     m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt)
     return m + mh, c + ch, ovf
+
+
+@jax.jit
+def heavy_materialize(rk, rp, sk, sp, hk):
+    """Materialized heavy rows, emitted IN PLACE (unique R keys make the
+    heavy join a per-row map: every heavy S row with a present key joins
+    its single R row).  Returns region-chunked columns of length |S| with
+    sentinel holes (key -3) at non-heavy/non-present rows, plus the
+    residual S keys and (matches, checksum) of the heavy part."""
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+
+    valid = hk >= 0
+    # unique-R payload lookup per candidate (same fused reduce as
+    # heavy_contrib's stats, R side only)
+    eq_r = rk[:, None] == hk[None, :]
+    pres = (jnp.sum(eq_r.astype(jnp.int32), axis=0) > 0) & valid
+    rph = jnp.sum(jnp.where(eq_r, rp[:, None], 0), axis=0)
+    pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
+    is_heavy = (hk[pos] == sk) & (sk >= 0)
+    hit = is_heavy & pres[pos]
+    out_k = jnp.where(hit, sk, -3)
+    out_rp = jnp.where(hit, rph[pos], 0)
+    out_sp = jnp.where(hit, sp, 0)
+    matches = jnp.sum(hit, dtype=jnp.int32)
+    checksum = jnp.sum(
+        jnp.where(hit, out_rp.astype(jnp.uint32) + sp.astype(jnp.uint32),
+                  jnp.uint32(0)), dtype=jnp.uint32)
+    sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
+    return matches, checksum, out_k, out_rp, out_sp, sk_res
+
+
+def rho_skew_split_materialize(rk, rp, sk, sp, salt):
+    """Heavy-split materializing join.  Output = residual pipeline's
+    region-chunked columns concatenated with the in-place heavy columns
+    (both carry sentinel holes -3 — the chunked-table contract).  Returns
+    (matches, checksum, key, r_payload, s_payload, overflow)."""
+    from aqp_tpu.ops.pallas.rho3 import rho_join_materialize_v3
+
+    hk = heavy_candidates(sk)
+    mh, ch, hk_col, hrp, hsp, sk_res = heavy_materialize(rk, rp, sk, sp, hk)
+    m, c, ok, orp, osp, ovf = rho_join_materialize_v3(rk, rp, sk_res, sp,
+                                                      salt=salt)
+    return (m + mh, c + ch,
+            jnp.concatenate([ok, hk_col]),
+            jnp.concatenate([orp, hrp]),
+            jnp.concatenate([osp, hsp]), ovf)

@@ -80,3 +80,44 @@ def test_skewtier_closed_form_exact():
     assert (int(ch) + int(res.checksum)) % (1 << 32) == int(ref.checksum)
     # heavy rows actually moved out
     assert int(mh) > 0 and int(res.matches) < int(ref.matches)
+
+
+def test_skewtier_materialize_multiset():
+    """Heavy in-place materialization + residual must multiset-equal the
+    oracle's materialized join under Zipf skew."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aqp_tpu.data import create_relation_pk, create_relation_zipf
+    from aqp_tpu.joins.skewtier import heavy_candidates, heavy_materialize
+    from aqp_tpu.ops.mergejoin import merge_join_count_general, merge_join_materialize
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+    from aqp_tpu.relation import Relation
+    import jax
+
+    nr, ns = 1 << 10, 1 << 13
+    r0 = create_relation_pk(nr, seed=911)
+    s0 = create_relation_zipf(ns, nr, 1.5, seed=912)
+    # nonzero random payloads so routing is actually checked
+    r = Relation(r0.key, jax.random.randint(
+        jax.random.PRNGKey(3), (nr,), 1, 1 << 20, jnp.int32))
+    s = Relation(s0.key, jax.random.randint(
+        jax.random.PRNGKey(4), (ns,), 1, 1 << 20, jnp.int32))
+    ref = merge_join_materialize(r.key, r.payload, s.key, s.payload, ns)
+    hk = heavy_candidates(s.key, stride=4)
+    mh, ch, ok, orp, osp, sk_res = heavy_materialize(
+        r.key, r.payload, s.key, s.payload, hk)
+    assert int(mh) > 0
+    res = merge_join_materialize(
+        r.key, r.payload,
+        jnp.where(sk_res == PAD_S_INPUT, jnp.int32(-2), sk_res),
+        s.payload, ns)
+    assert int(mh) + int(res.matches) == int(ref.matches)
+    # multiset equality over the union of both chunked outputs
+    def live_rows(k, a, b):
+        k, a, b = map(np.asarray, (k, a, b))
+        m = k != -3
+        return list(zip(k[m].tolist(), a[m].tolist(), b[m].tolist()))
+    got = sorted(live_rows(ok, orp, osp)
+                 + live_rows(res.key, res.r_payload, res.s_payload))
+    want = sorted(live_rows(ref.key, ref.r_payload, ref.s_payload))
+    assert got == want
