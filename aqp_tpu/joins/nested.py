@@ -26,6 +26,9 @@ from aqp_tpu.ops import mergejoin
 from aqp_tpu.relation import Relation
 from aqp_tpu.utils.timing import PhaseTimer
 
+# module-level jit: a per-call jax.jit(lambda) recompiles every invocation
+_sort_pair = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1))
+
 _NL_TILE = 2048
 
 
@@ -145,12 +148,7 @@ def INL(relR: Relation, relS: Relation, cfg: JoinConfig):
     binary-search probes.  Unique build keys (as the reference's PK btree)."""
     pt = PhaseTimer()
     t0 = time.perf_counter()
-    rk, rp = pt.time_fn(
-        "build",
-        jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)),
-        relR.key,
-        relR.payload,
-    )
+    rk, rp = pt.time_fn("build", _sort_pair, relR.key, relR.payload)
     if cfg.materialize:
         hit, rpay = pt.time_fn(
             "probe", _inl_probe_materialize, rk, rp, relS.key)

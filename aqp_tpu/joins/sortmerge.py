@@ -183,20 +183,20 @@ def MWAY(relR: Relation, relS: Relation, cfg: JoinConfig):
     return to_join_result(out), pt.t
 
 
+# module-level jit: a fresh jax.jit(lambda) per call would RECOMPILE the
+# sort on every invocation (jit caches by function identity) — measured as
+# 47.8 s/rep of pure compile in the round-3 overview run
+_sort_pair = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1))
+
+
 def _sortmerge(relR: Relation, relS: Relation, cfg: JoinConfig):
     pt = PhaseTimer()
     t0 = time.perf_counter()
     # Phase "sort": pre-sort both inputs (PSM sorts R and S in place,
     # parallel_sortmerge_join.cpp:86-100).  The union sort in the merge core
     # re-merges them; pre-sorted inputs make that a cheap merge inside XLA.
-    rk, rp = pt.time_fn(
-        "sort", jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)),
-        relR.key, relR.payload
-    )
-    sk, sp = pt.time_fn(
-        "sort", jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)),
-        relS.key, relS.payload
-    )
+    rk, rp = pt.time_fn("sort", _sort_pair, relR.key, relR.payload)
+    sk, sp = pt.time_fn("sort", _sort_pair, relS.key, relS.payload)
     if cfg.materialize:
         out = pt.time_fn(
             "merge",
