@@ -222,7 +222,7 @@ def npbc_build(r_key, r_payload, nb_bits: int):
     b_s, rk_s, rp_s = jax.lax.sort((b, r_key, r_payload), num_keys=1,
                                    is_stable=True)
     bounds = jnp.searchsorted(
-        b_s, jnp.arange(nb + 1, dtype=b_s.dtype), side="left"
+        b_s, jnp.arange(nb + 1, dtype=b_s.dtype), side="left", method="sort"
     ).astype(jnp.int32)
     longest = jnp.max(bounds[1:] - bounds[:-1])
     return rk_s, rp_s, bounds, longest

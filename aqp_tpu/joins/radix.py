@@ -228,8 +228,8 @@ def _rht_probe(rk_sorted, ppref, sk, sp):
     """Range-scan probe: each S key's R run is [lo, hi); multiplicity and
     payload sum come from the prefix structure — exact under duplicate R
     keys (the histogram join's range scan, radix_join.cpp:560-612)."""
-    lo = jnp.searchsorted(rk_sorted, sk, side="left")
-    hi = jnp.searchsorted(rk_sorted, sk, side="right")
+    lo = jnp.searchsorted(rk_sorted, sk, side="left", method="sort")
+    hi = jnp.searchsorted(rk_sorted, sk, side="right", method="sort")
     mult = (hi - lo).astype(jnp.int32)
     rp_sum = ppref[hi] - ppref[lo]
     matches = jnp.sum(mult, dtype=jnp.int32)
@@ -243,7 +243,8 @@ def _rht_probe(rk_sorted, ppref, sk, sp):
 @jax.jit
 def _rht_probe_materialize_gather(rk_sorted, rp_sorted, sk, sp):
     """Unique-R materialize probe: gather the single matching R row."""
-    lo = jnp.clip(jnp.searchsorted(rk_sorted, sk), 0, rk_sorted.shape[0] - 1)
+    lo = jnp.clip(jnp.searchsorted(rk_sorted, sk, method="sort"), 0,
+                  rk_sorted.shape[0] - 1)
     hit = rk_sorted[lo] == sk
     return hit, jnp.where(hit, rp_sorted[lo], 0)
 

@@ -79,8 +79,10 @@ def _merge_pair_rows(ak, ap, bk, bp):
     a-elements rank side='left' into b, b-elements side='right' into a —
     ties interleave without collisions (standard merge-path tie-break)."""
     m, w = ak.shape
-    ia = jax.vmap(lambda a, b: jnp.searchsorted(b, a, side="left"))(ak, bk)
-    ib = jax.vmap(lambda b, a: jnp.searchsorted(a, b, side="right"))(bk, ak)
+    ia = jax.vmap(lambda a, b: jnp.searchsorted(
+        b, a, side="left", method="sort"))(ak, bk)
+    ib = jax.vmap(lambda b, a: jnp.searchsorted(
+        a, b, side="right", method="sort"))(bk, ak)
     base = jnp.arange(w, dtype=ia.dtype)
     da = base[None, :] + ia
     db = base[None, :] + ib

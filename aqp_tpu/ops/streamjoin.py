@@ -43,7 +43,7 @@ def build_sorted(r_key, r_payload):
 def probe_chunk(rk_sorted, rp_sorted, s_key, s_payload):
     """Count + checksum of one S chunk against the sorted R side.
     Pad rows (key < 0) never match (all R keys are >= 0 by domain)."""
-    idx = jnp.searchsorted(rk_sorted, s_key)
+    idx = jnp.searchsorted(rk_sorted, s_key, method="sort")
     idx = jnp.clip(idx, 0, rk_sorted.shape[0] - 1)
     hit = (jnp.take(rk_sorted, idx) == s_key) & (s_key >= 0)
     ck = jnp.where(
