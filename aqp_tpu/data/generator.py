@@ -118,7 +118,8 @@ def create_relation_zipf(
     @jax.jit
     def draw(cdf, alphabet):
         u = jax.random.uniform(k_draw, (num_tuples,), dtype=jnp.float32)
-        ranks = jnp.searchsorted(cdf, u, side="left")
+        ranks = jnp.searchsorted(cdf, u, side="left",
+                                  method="sort")
         ranks = jnp.clip(ranks, 0, alphabet_size - 1)
         return alphabet[ranks].astype(dtype)
 
