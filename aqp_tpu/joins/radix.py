@@ -127,51 +127,42 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
             rho_join_materialize_v3,
         )
 
+        from aqp_tpu.joins.skewtier import (
+            rho_skew_split_count, rho_skew_split_materialize)
+
         pt = PhaseTimer()
         t0 = time.perf_counter()
-        for salt in RETRY_SALTS:
-            if cfg.materialize:
-                m, c, ok, orp, osp, ovf = pt.time_fn(
-                    "join", rho_join_materialize_v3,
-                    relR.key, relR.payload, relS.key, relS.payload,
-                    salt=salt)
+        # escalation ladder: plain pipeline (salt 0) → heavy-split tier
+        # (slot overflow is almost always duplicate-key mass, which no
+        # re-salt can spread — same key, same bucket under any bijection)
+        # → remaining salts (the rare hash-clustering/pad-alias case) →
+        # exact XLA core.  Each tier's result is used only when its own
+        # overflow counter is zero: never silently wrong.
+        def attempt(fn, salt):
+            return pt.time_fn("join", fn, relR.key, relR.payload,
+                              relS.key, relS.payload, salt=salt)
+
+        if cfg.materialize:
+            tiers = [(rho_join_materialize_v3, RETRY_SALTS[0]),
+                     (rho_skew_split_materialize, RETRY_SALTS[0])] + [
+                (rho_join_materialize_v3, s) for s in RETRY_SALTS[1:]]
+            for fn, salt in tiers:
+                m, c, ok, orp, osp, ovf = attempt(fn, salt)
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     # region-chunked output: holes keyed -3 (chunked-table
                     # analog; see JoinResult docstring)
                     return JoinResult(matches=m, checksum=c, key=ok,
                                       r_payload=orp, s_payload=osp), pt.t
-            else:
-                m, c, ovf = pt.time_fn(
-                    "join", rho_join_count_v3,
-                    relR.key, relR.payload, relS.key, relS.payload,
-                    salt=salt)
+        else:
+            tiers = [(rho_join_count_v3, RETRY_SALTS[0]),
+                     (rho_skew_split_count, RETRY_SALTS[0])] + [
+                (rho_join_count_v3, s) for s in RETRY_SALTS[1:]]
+            for fn, salt in tiers:
+                m, c, ovf = attempt(fn, salt)
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     return JoinResult(matches=m, checksum=c), pt.t
-        # duplicate-key skew beyond every salt: heavy-hitter split tier —
-        # the single-chip task-stealing analog (joins/skewtier.py);
-        # residual overflow escalates further.
-        from aqp_tpu.joins.skewtier import (
-            rho_skew_split_count, rho_skew_split_materialize)
-
-        if cfg.materialize:
-            m, c, ok, orp, osp, ovf = pt.time_fn(
-                "join", rho_skew_split_materialize,
-                relR.key, relR.payload, relS.key, relS.payload,
-                RETRY_SALTS[0])
-            if int(ovf) == 0:
-                pt.t.phases["total"] = time.perf_counter() - t0
-                return JoinResult(matches=m, checksum=c, key=ok,
-                                  r_payload=orp, s_payload=osp), pt.t
-        else:
-            m, c, ovf = pt.time_fn(
-                "join", rho_skew_split_count,
-                relR.key, relR.payload, relS.key, relS.payload,
-                RETRY_SALTS[0])
-            if int(ovf) == 0:
-                pt.t.phases["total"] = time.perf_counter() - t0
-                return JoinResult(matches=m, checksum=c), pt.t
         # adversarial skew beyond every tier: exact XLA core
         if cfg.materialize:
             out = pt.time_fn(
