@@ -49,7 +49,12 @@ class JoinConfig:
     # bucket array at |R|/BUCKET_SIZE).
     load_factor: float = 0.5
     # Bounded linear-probe window for open-addressing probes.
-    probe_window: int = 8
+    # expected linear-probe displacement at load<=0.5 is < 1; the windowed
+    # probe pays `window` HBM gathers per S row UNCONDITIONALLY (the rare
+    # longer displacement falls to the bounded while-loop), so small wins:
+    # chip-measured 2.2x probe throughput at 4 vs 8 (PHT_no vs PHT rows,
+    # results/join-overview.csv)
+    probe_window: int = 4
     # Rows per partition targeted by the partitioning planner.
     partition_rows: int = DEFAULT_PARTITION_ROWS
     # Use Pallas kernels where available (False → pure-XLA reference path).
