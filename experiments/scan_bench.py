@@ -87,8 +87,16 @@ def make_fns(col, n, engine, cap_rows, dict_lo, dict_hi):
     from aqp_tpu.ops import scan as xs
 
     cap = cap_rows * LANES
-    dict64 = (dict_lo.astype(jnp.int64)
-              | (dict_hi.astype(jnp.int64) << 32))
+
+    @jax.jit
+    def xla_dict(lo, hi):
+        # 64-bit dict values as two int32 planes (int64 needs the global
+        # x64 flag — astype would silently truncate); same write volume as
+        # the reference's 64-bit gather, plane-split like the Pallas path
+        ids, cnt = xs.scan_index(col, lo, hi, cap)
+        codes = col[ids].astype(jnp.int32)
+        return jnp.take(dict_lo, codes), jnp.take(dict_hi, codes), cnt
+
     return {
         "count": (lambda lo, hi: xs.scan_count(col, lo, hi),
                   lambda o: int(o), 0),
@@ -100,8 +108,7 @@ def make_fns(col, n, engine, cap_rows, dict_lo, dict_hi):
                   lambda o: int(o[1]), 4),
         "values": (lambda lo, hi: xs.scan_values(col, lo, hi, cap),
                    lambda o: int(o[1]), 4),
-        "dict": (lambda lo, hi: xs.scan_dict(col, dict64, lo, hi, cap),
-                 lambda o: int(o[1]), 8),
+        "dict": (xla_dict, lambda o: int(o[2]), 8),
     }
 
 
