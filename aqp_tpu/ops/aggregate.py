@@ -33,58 +33,40 @@ class GroupByResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def groupby_aggregate(key, payload, capacity: int) -> GroupByResult:
+    """One lexicographic sort does all the work: run starts give groups,
+    payload order within a run gives min (at start) / max (at end), and a
+    single prefix sum gives per-run sums by differencing.  Compaction is
+    ONE position scatter (run-start index -> group rank) followed by
+    capacity-sized gathers — no per-aggregate n-sized scatters."""
     n = key.shape[0]
-    sk, sp = jax.lax.sort((key, payload), num_keys=1)
+    sk, sp = jax.lax.sort((key, payload), num_keys=2)
     prev = jnp.concatenate([jnp.full((1,), -2147483648, sk.dtype), sk[:-1]])
     run_start = sk != prev
-    # inclusive prefixes
-    csum = jnp.cumsum(sp.astype(jnp.uint32), dtype=jnp.uint32)
-    ccnt = jnp.cumsum(jnp.ones((n,), jnp.int32))
-    cmin = jax.lax.cummin(sp)
-    cmax = jax.lax.cummax(sp)
-    # a run END is the position before the next run start (or n-1)
-    next_start = jnp.concatenate([run_start[1:], jnp.ones((1,), bool)])
-    run_end = next_start
-    # per-run aggregate = prefix[end] - prefix[before start]; min/max need a
-    # restart-scan: cummin/cummax over the whole array is wrong across runs —
-    # recompute via segmented trick: subtract is invalid for min/max, so use
-    # the reverse-prefix within runs: propagate run-start positions forward
-    # and take extrema of the suffix slice... simplest exact approach: use
-    # the difference formulation for count/sum and a second sort pass keyed
-    # by (key, payload) for min/max: after sorting pairs, the run's min is at
-    # its start and max at its end.
-    sk2, sp2 = jax.lax.sort((key, payload), num_keys=2)
-    run_min = sp2  # at run_start positions
-    run_max = sp2  # at run_end positions
-
     num_groups = jnp.sum(run_start, dtype=jnp.int32)
-    # compact run ends (carry end-prefix values) and run starts
-    end_rank = jnp.cumsum(run_end.astype(jnp.int32)) - run_end.astype(jnp.int32)
-    start_rank = jnp.cumsum(run_start.astype(jnp.int32)) - run_start.astype(jnp.int32)
+    rank = jnp.cumsum(run_start.astype(jnp.int32)) - 1
 
-    def compact(mask, rank, vals, fill):
-        slot = jnp.where(mask, rank, capacity)
-        return jnp.full((capacity,), fill, vals.dtype).at[slot].set(
-            vals, unique_indices=True, mode="drop"
-        )
+    # pos[g] = index of group g's first row; pos[num_groups..] stays n so
+    # count/next-start arithmetic for dead slots degenerates to zero.  A
+    # group `capacity` (overflow) still lands its start in pos[capacity],
+    # which is exactly group capacity-1's next-start.
+    slot = jnp.where(run_start, rank, capacity + 1)
+    pos = jnp.full((capacity + 1,), n, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    p, pn = pos[:capacity], pos[1:]
+    pcl = jnp.clip(p, 0, n - 1)
+    pe = jnp.clip(pn - 1, 0, n - 1)  # last row of the run
 
-    out_key = compact(run_start, start_rank, sk, jnp.int32(-3))
-    end_csum = compact(run_end, end_rank, csum, jnp.uint32(0))
-    end_ccnt = compact(run_end, end_rank, ccnt, jnp.int32(0))
-    start_csum = compact(run_start, start_rank, csum - sp.astype(jnp.uint32), jnp.uint32(0))
-    start_ccnt = compact(run_start, start_rank, ccnt - 1, jnp.int32(0))
-    out_min = compact(run_start, start_rank, run_min, jnp.int32(0))
-    out_max = compact(run_end, end_rank, run_max, jnp.int32(0))
-
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    live = idx < num_groups
+    csum = jnp.cumsum(sp.astype(jnp.uint32), dtype=jnp.uint32)
+    live = jnp.arange(capacity, dtype=jnp.int32) < num_groups
     return GroupByResult(
         num_groups=num_groups,
-        key=jnp.where(live, out_key, -3),
-        count=jnp.where(live, end_ccnt - start_ccnt, 0),
-        sum=jnp.where(live, end_csum - start_csum, 0),
-        min=jnp.where(live, out_min, 0),
-        max=jnp.where(live, out_max, 0),
+        key=jnp.where(live, sk[pcl], -3),
+        count=jnp.where(live, pn - p, 0),
+        sum=jnp.where(
+            live, csum[pe] - csum[pcl] + sp[pcl].astype(jnp.uint32), 0),
+        min=jnp.where(live, sp[pcl], 0),
+        max=jnp.where(live, sp[pe], 0),
     )
 
 
