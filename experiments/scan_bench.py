@@ -209,7 +209,10 @@ def family_residency(small, reps, rows):
     jax.block_until_ready(col_dev)
     fns = make_fns(col_dev, n, engine, cap_rows, dlo, dhi)
     for mode in ("count", "index"):
-        t, r, w = run_config(fns, mode, 10.0, n, reps)
+        got = run_config_safe(fns, mode, 10.0, n, reps)
+        if got is None:
+            continue
+        t, r, w = got
         rows.append(("residency", mode, engine, n, 10.0, "resident",
                      round(t * 1e3, 3), round(r, 2), round(w, 2)))
         fn, fetch, wb = fns[mode]
@@ -220,7 +223,11 @@ def family_residency(small, reps, rows):
             f2 = make_fns(c, n, engine, cap_rows, dlo, dhi)[mode][0]
             return f2(lo, hi)
 
-        t = time_async(streamed, max(1, reps // 2), fetch)
+        try:
+            t = time_async(streamed, max(1, reps // 2), fetch)
+        except Exception as e:
+            log(f"ERROR residency streamed {mode}: {str(e)[:90]}")
+            continue
         r = n / t / 1e9
         w = (n * 0.1 * wb) / t / 1e9 if wb else 0.0
         rows.append(("residency", mode, engine, n, 10.0, "streamed",
