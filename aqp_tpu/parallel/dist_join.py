@@ -38,6 +38,15 @@ def _resolve_engine(engine: str) -> str:
         return "xla"
 
 
+def _vma_check(engine: str) -> bool:
+    """shard_map(check_vma=...) per engine: pallas_call out_shapes carry no
+    varying-manual-axes typing (jax 0.9 requires explicit vma on
+    ShapeDtypeStruct inside check_vma shard_maps), so the Pallas tier runs
+    with the check off; the XLA tier keeps it on (the CPU parity tests are
+    where the typing check has teeth)."""
+    return engine != "pallas"
+
+
 def _local_count(rk, rp, sk, sp, engine: str):
     """Shard-local count join.  Returns (matches, checksum, local_overflow).
 
@@ -83,15 +92,17 @@ def make_dist_join_count(mesh: Mesh, nr_shard: int, ns_shard: int,
     cap_r = max(8, int(nr_shard / n * safety))
     cap_s = max(8, int(ns_shard / n * safety))
 
+    eng = _resolve_engine(engine)
     body = functools.partial(
         _dist_join_count_body, axis=axis, cap_r=cap_r, cap_s=cap_s,
-        salt=salt, engine=_resolve_engine(engine)
+        salt=salt, engine=eng
     )
     sharded = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(), P()),
+        check_vma=_vma_check(eng),
     )
     return jax.jit(sharded)
 
@@ -142,13 +153,14 @@ def make_dist_join_count_ring(mesh: Mesh, axis: str = DEFAULT_AXIS,
     shuffle path — profitable when R is small or skew defeats hashing.
     """
     n = mesh.shape[axis]
+    eng = _resolve_engine(engine)
     body = functools.partial(
-        _dist_join_count_ring_body, axis=axis, n=n,
-        engine=_resolve_engine(engine))
+        _dist_join_count_ring_body, axis=axis, n=n, engine=eng)
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
+        check_vma=_vma_check(eng),
     )
     return jax.jit(sharded)
 
@@ -275,15 +287,17 @@ def make_dist_join_count_2d(mesh: Mesh, nr_shard: int, ns_shard: int,
     cap_cr = max(8, int(cap_hr * nh / nc * safety))
     cap_hs = max(8, int(ns_shard / nh * safety))
     cap_cs = max(8, int(cap_hs * nh / nc * safety))
+    eng = _resolve_engine(engine)
     body = functools.partial(
         _dist_join_count_2d_body, host_axis=host_axis, chip_axis=chip_axis,
         cap_hr=cap_hr, cap_cr=cap_cr, cap_hs=cap_hs, cap_cs=cap_cs, salt=salt,
-        engine=_resolve_engine(engine))
+        engine=eng)
     spec = P((host_axis, chip_axis))
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(P(), P(), P(), P()),
+        check_vma=_vma_check(eng),
     )
     return jax.jit(sharded)
 
