@@ -141,20 +141,29 @@ def bench_scan(n, reps):
 
 def bench_aggregate(ns, mat, reps):
     """North-star config 3: hash aggregate (group-by) over the materialized
-    join output (BASELINE.json configs[3]).  Input = the region-chunked
-    output columns (sentinel holes group under key -3); throughput counted
-    over the live rows only (conservative)."""
+    join output (BASELINE.json configs[3]).  Group key = the join key's low
+    20 bits (dense PK domain -> uniform 2^20 groups, TPC-H-style group-by
+    cardinality; grouping on the raw join key would mean 13.1M groups —
+    capacity-sized compaction gathers then dominate and the old cap 2^21
+    silently truncated 85% of the groups; generator payloads are all zero,
+    reference generator.cpp writes keys only, so a payload-derived group
+    column would be degenerate).  Sentinel holes of the
+    region-chunked output collapse under group -3; num_groups <= capacity is
+    asserted so the measured run is exact, never truncated.  Throughput
+    counted over the live rows only (conservative)."""
     from aqp_tpu.ops.aggregate import groupby_aggregate
 
     key, spay = mat[2], mat[4]
     cap = 1 << 21
+    gkey = jnp.where(key < 0, -3, jnp.bitwise_and(key, (1 << 20) - 1))
 
     def f():
-        return groupby_aggregate(key, spay, cap)
+        return groupby_aggregate(gkey, spay, cap)
 
     g = f()
-    int(g.num_groups)
-    log("aggregate compiled")
+    n_groups = int(g.num_groups)
+    assert n_groups <= cap, f"aggregate truncated: {n_groups} > {cap}"
+    log(f"aggregate compiled ({n_groups} groups)")
     t = time_async(f, reps)
     return ns / t / 1e6
 
