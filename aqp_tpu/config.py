@@ -59,6 +59,17 @@ class JoinConfig:
     partition_rows: int = DEFAULT_PARTITION_ROWS
     # Use Pallas kernels where available (False → pure-XLA reference path).
     use_pallas: bool = True
+    # Compute the uint32 payload checksum on count joins.  False serves the
+    # reference's count branch faithfully — it accumulates matches only and
+    # never reads payloads (radix_join.cpp:428-447) — and lets keys-only
+    # kernels run (no payload lanes move).  Tests/oracles keep True.
+    checksum: bool = True
+    # Per-phase staged timing: run each algorithm phase as its own dispatch
+    # so PhaseTimer can attribute time (the reference's per-phase rdtscp
+    # contract, radix_join.cpp:94-108).  False (default) serves each join
+    # as ONE fused jitted program — one dispatch, phases reported as
+    # join/total only.  The phase experiments set True.
+    profile_phases: bool = False
     # NOTE: skew handling and sharded execution are NOT config fields — the
     # distributed API takes them explicitly where they act
     # (parallel/dist_join.dist_join_count_auto(skew_threshold=...) and the

@@ -73,6 +73,27 @@ def CHT(relR: Relation, relS: Relation, cfg: JoinConfig):
     present, rank, ck, cp = pt.time_fn(
         "build", build_cht, relR.key, relR.payload, domain
     )
+    if not cfg.profile_phases:
+        # Fused serving path: probe the COMPACT table (the rank-ordered
+        # tuple array — rank order IS key order, CHT.hpp:268-289) with one
+        # jitted program: probe batch merged against the compact array +
+        # propagation.  The bitmap/rank build above remains the persistent
+        # concise-table artifact.
+        if cfg.materialize:
+            from aqp_tpu.joins.common import result_capacity
+
+            out = pt.time_fn(
+                "probe", mergejoin.merge_join_materialize,
+                ck, cp, relS.key, relS.payload, result_capacity(relS, cfg))
+        elif cfg.checksum:
+            out = pt.time_fn(
+                "probe", mergejoin.merge_join_count,
+                ck, cp, relS.key, relS.payload)
+        else:
+            out = pt.time_fn(
+                "probe", mergejoin.merge_join_count_keys, ck, relS.key)
+        pt.t.phases["total"] = time.perf_counter() - t0
+        return to_join_result(out), pt.t
     matches, checksum, hit, rpay = pt.time_fn(
         "probe", probe_cht, present, rank, ck, cp, relS.key, relS.payload, domain
     )

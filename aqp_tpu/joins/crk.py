@@ -121,16 +121,24 @@ def crack_relation(rel: Relation, key_bits: int | None = None
     return CrackedRelation(rel.key, rel.payload, 0, key_bits, bounds)
 
 
-def crack_to(cr: CrackedRelation, depth: int, pt: PhaseTimer | None = None
-             ) -> CrackedRelation:
-    """Refine the store to `depth` crack levels, one level at a time
-    (per-level timing = the reference's per-tree-level partition timers).
-    Already-cracked levels are NOT repeated: the lazy-reuse contract."""
+def crack_to(cr: CrackedRelation, depth: int, pt: PhaseTimer | None = None,
+             per_level: bool = False) -> CrackedRelation:
+    """Refine the store to `depth` crack levels.  Already-cracked levels
+    are NOT repeated: the lazy-reuse contract.
+
+    All pending levels run as ONE stable bucket sort (sorting by the
+    top-`depth` bits is exactly the layout the per-level sequence
+    produces, since each level is a stable refinement of the previous
+    grouping) — one data pass instead of depth-minus-current passes.
+    per_level=True keeps the sequential per-level form (one timed sort
+    per tree level — the reference's per-level partition timers,
+    JoinWrapper.cpp partition_thread)."""
     depth = min(depth, cr.key_bits)
     if depth <= cr.depth:
         return cr
     key, pay = cr.key, cr.payload
-    for d in range(cr.depth + 1, depth + 1):
+    levels = (range(cr.depth + 1, depth + 1) if per_level else (depth,))
+    for d in levels:
         if pt is not None:
             key, pay = pt.time_fn("partition", _crack_level_jit, key, pay,
                                   d, cr.key_bits)
@@ -190,8 +198,9 @@ def crk_join_cracked(crR: CrackedRelation, crS: CrackedRelation,
         "both stores must crack the same key domain "
         f"({crR.key_bits} != {crS.key_bits})")
     depth = max(1, min(depth, crR.key_bits, crS.key_bits))
-    crR = crack_to(crR, depth, pt)
-    crS = crack_to(crS, depth, pt)
+    per_level = bool(getattr(cfg, "profile_phases", False))
+    crR = crack_to(crR, depth, pt, per_level=per_level)
+    crS = crack_to(crS, depth, pt, per_level=per_level)
     npart = 1 << depth
     cap_r = _window_cap(crR.bounds)
     cap_s = _window_cap(crS.bounds)

@@ -147,18 +147,39 @@ def _inl_probe_materialize(sorted_rk, sorted_rp, s_key):
 @register("INL")
 def INL(relR: Relation, relS: Relation, cfg: JoinConfig):
     """Index NL: ordered index = sorted array (btree analog), vectorized
-    binary-search probes.  Unique build keys (as the reference's PK btree)."""
+    binary-search probes.  Unique build keys (as the reference's PK btree).
+
+    Serving path: the index build (one sort of R — the btree-construction
+    analog, nested_loop_join.cpp:160-175) stays a separate phase because
+    the index is a persistent artifact; the probe is ONE fused program.  A
+    batch of ordered-index lookups is served by merging the sorted probe
+    batch against the index (probe-batch sort + propagation) — the batched
+    form of the reference's per-row btree descent.  cfg.profile_phases
+    uses the explicit binary-search probe instead."""
     pt = PhaseTimer()
     t0 = time.perf_counter()
     rk, rp = pt.time_fn("build", _sort_pair, relR.key, relR.payload)
     if cfg.materialize:
-        hit, rpay = pt.time_fn(
-            "probe", _inl_probe_materialize, rk, rp, relS.key)
-        out = pt.time_fn(
-            "materialize", mergejoin.compact_matches,
-            hit, relS.key, rpay, relS.payload,
-            capacity=result_capacity(relS, cfg))
-    else:
+        if cfg.profile_phases:
+            hit, rpay = pt.time_fn(
+                "probe", _inl_probe_materialize, rk, rp, relS.key)
+            out = pt.time_fn(
+                "materialize", mergejoin.compact_matches,
+                hit, relS.key, rpay, relS.payload,
+                capacity=result_capacity(relS, cfg))
+        else:
+            out = pt.time_fn(
+                "probe", mergejoin.merge_join_materialize,
+                rk, rp, relS.key, relS.payload,
+                result_capacity(relS, cfg))
+    elif cfg.profile_phases:
         out = pt.time_fn("probe", _inl_probe, rk, rp, relS.key, relS.payload)
+    elif cfg.checksum:
+        out = pt.time_fn(
+            "probe", mergejoin.merge_join_count,
+            rk, rp, relS.key, relS.payload)
+    else:
+        out = pt.time_fn(
+            "probe", mergejoin.merge_join_count_keys, rk, relS.key)
     pt.t.phases["total"] = time.perf_counter() - t0
     return to_join_result(out), pt.t

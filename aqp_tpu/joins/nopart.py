@@ -158,9 +158,66 @@ def table_bits_for(num_r: int, load_factor: float) -> int:
     return max(4, math.ceil(math.log2(max(2, num_r / load_factor))))
 
 
-def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int):
+def _nphj_available(relR, relS, cfg) -> bool:
+    if not cfg.use_pallas or cfg.key64 or cfg.profile_phases:
+        return False
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return False
+    except Exception:
+        return False
+    return relR.key.dtype == jnp.int32 and relS.key.dtype == jnp.int32
+
+
+def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int,
+            variant: str = "PHT"):
     pt = PhaseTimer()
     t0 = time.perf_counter()
+    if _nphj_available(relR, relS, cfg):
+        # Fused shared-table Pallas pipeline (ops/pallas/nphj.py): the
+        # table build + stream probe as one program; salt-retry on
+        # overflow, exact-XLA fallback after (never silently wrong).
+        from aqp_tpu.ops.pallas.nphj import (
+            VARIANT_PARAMS, nphj_join_count, nphj_join_materialize)
+        from aqp_tpu.ops.pallas.rho3 import RETRY_SALTS
+
+        prm = VARIANT_PARAMS[variant]
+        if cfg.materialize:
+            for salt in RETRY_SALTS:
+                m, c, ok, orp, osp, ovf = pt.time_fn(
+                    "join", nphj_join_materialize, relR.key, relR.payload,
+                    relS.key, relS.payload, prm=prm, salt=salt)
+                if int(ovf) == 0:
+                    pt.t.phases["total"] = time.perf_counter() - t0
+                    from aqp_tpu.relation import JoinResult
+
+                    return JoinResult(matches=m, checksum=c, key=ok,
+                                      r_payload=orp, s_payload=osp), pt.t
+            out = pt.time_fn(
+                "join", mergejoin.merge_join_materialize,
+                relR.key, relR.payload, relS.key, relS.payload,
+                result_capacity(relS, cfg))
+        else:
+            for salt in RETRY_SALTS:
+                m, c, ovf = pt.time_fn(
+                    "join", nphj_join_count, relR.key, relR.payload,
+                    relS.key, relS.payload, prm=prm, salt=salt,
+                    with_checksum=cfg.checksum)
+                if int(ovf) == 0:
+                    pt.t.phases["total"] = time.perf_counter() - t0
+                    from aqp_tpu.relation import JoinResult
+
+                    return JoinResult(matches=m, checksum=c), pt.t
+            if cfg.checksum:
+                out = pt.time_fn(
+                    "join", mergejoin.merge_join_count,
+                    relR.key, relR.payload, relS.key, relS.payload)
+            else:
+                out = pt.time_fn(
+                    "join", mergejoin.merge_join_count_keys,
+                    relR.key, relS.key)
+        pt.t.phases["total"] = time.perf_counter() - t0
+        return to_join_result(out), pt.t
     tb = table_bits_for(relR.num_tuples, cfg.load_factor)
     tkey, tpay, _ = pt.time_fn("build", build_table, relR.key, relR.payload, tb)
     cap = result_capacity(relS, cfg) if cfg.materialize else 0
@@ -173,36 +230,41 @@ def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int):
 
 @register("PHT")
 def PHT(relR, relS, cfg):
-    return _nopart(relR, relS, cfg, window=cfg.probe_window)
+    return _nopart(relR, relS, cfg, window=cfg.probe_window, variant="PHT")
 
 
 @register("PHT_no")
 def PHT_no(relR, relS, cfg):
     """No-overflow variant — tighter window, larger table (load 0.25)."""
-    return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2), window=4)
+    return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2),
+                   window=4, variant="PHT_no")
 
 
 @register("PHT_un")
 def PHT_un(relR, relS, cfg):
     """'Unrolled' variant — wider probe window in one vector pass (the
     reference unrolls the build/probe loops by 10, :280-345)."""
-    return _nopart(relR, relS, cfg, window=max(10, cfg.probe_window))
+    return _nopart(relR, relS, cfg, window=max(10, cfg.probe_window),
+                   variant="PHT_un")
 
 
 @register("PHT_o")
 def PHT_o(relR, relS, cfg):
     """Overflow-chain variant — smaller table (load 1.0), longer probes."""
-    return _nopart(relR, relS, cfg.replace(load_factor=min(1.0, cfg.load_factor * 2)), window=max(16, cfg.probe_window))
+    return _nopart(relR, relS, cfg.replace(load_factor=min(1.0, cfg.load_factor * 2)),
+                   window=max(16, cfg.probe_window), variant="PHT_o")
 
 
 @register("NPO_st")
 def NPO_st(relR, relS, cfg):
-    return _nopart(relR, relS, cfg, window=cfg.probe_window)
+    return _nopart(relR, relS, cfg, window=cfg.probe_window,
+                   variant="NPO_st")
 
 
 @register("NPO_no")
 def NPO_no(relR, relS, cfg):
-    return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2), window=4)
+    return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2),
+                   window=4, variant="NPO_no")
 
 
 # ---------------------------------------------------------------------------
@@ -253,16 +315,47 @@ def npbc_probe_count(rk_s, rp_s, bounds, s_key, s_payload, nb_bits: int,
     return (jnp.sum(matches, dtype=jnp.int32), jnp.sum(ck, dtype=jnp.uint32))
 
 
+@functools.partial(jax.jit, static_argnames=("nb_bits", "checksum"))
+def _npbc_fused(rk, rp, sk, sp, nb_bits: int, checksum: bool):
+    """Fused bucket-chaining count join: ONE program ordering the union
+    bucket-major (hash bucket = the chain head array; the chain IS the
+    bucket's contiguous span) and aggregating each chain walk with the
+    duplicate-exact run-count scan — every equal-key R row in the chain is
+    counted, exactly as the reference's walk
+    (no_partitioning_bucket_chaining_join.cpp:95-125)."""
+    key = jnp.concatenate([rk, sk])
+    b = fib_hash32(key, nb_bits)
+    skey = jnp.concatenate([rk << 1, (sk << 1) | 1])
+    if checksum:
+        pay = jnp.concatenate([rp, sp])
+        _, pk2, spay = jax.lax.sort((b, skey, pay), num_keys=2)
+    else:
+        _, pk2 = jax.lax.sort((b, skey), num_keys=2)
+        spay = jnp.zeros_like(pk2)
+    out = mergejoin.count_general_scan(pk2, spay)
+    if not checksum:
+        out = mergejoin.JoinCounts(out.matches, jnp.uint32(0))
+    return out
+
+
 @register("NPBC_st")
 def NPBC_st(relR, relS, cfg):
     """Bucket-chaining join: grouped-span chains + walk-the-chain probes
     (next/bucket array analog, no_partitioning_bucket_chaining_join.cpp).
     Distinct mechanics from the PHT/NPO open-addressing family: counts all
     duplicates in a chain, bucket count = next_pow2(|R|) as the reference
-    sizes it."""
+    sizes it.  Default serving path = the fused bucket-major program
+    (_npbc_fused); cfg.profile_phases keeps the staged build/probe split."""
     pt = PhaseTimer()
     t0 = time.perf_counter()
     nb_bits = max(4, math.ceil(math.log2(max(2, relR.num_tuples))))
+    if not cfg.profile_phases and not cfg.materialize \
+            and relR.key.dtype == jnp.int32:
+        out = pt.time_fn(
+            "join", _npbc_fused, relR.key, relR.payload,
+            relS.key, relS.payload, min(nb_bits, 24), cfg.checksum)
+        pt.t.phases["total"] = time.perf_counter() - t0
+        return to_join_result(out), pt.t
     rk_s, rp_s, bounds, longest = pt.time_fn(
         "build", npbc_build, relR.key, relR.payload, nb_bits)
     # static chain budget: the device-measured longest chain, pow2-rounded

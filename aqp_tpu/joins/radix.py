@@ -26,6 +26,7 @@ TPU designs — three genuinely distinct instruction streams:
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 
@@ -155,9 +156,13 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                     return JoinResult(matches=m, checksum=c, key=ok,
                                       r_payload=orp, s_payload=osp), pt.t
         else:
-            tiers = [(rho_join_count_v3, RETRY_SALTS[0]),
+            def count_v3(rk, rp, sk, sp, salt):
+                return rho_join_count_v3(rk, rp, sk, sp, salt=salt,
+                                         with_checksum=cfg.checksum)
+
+            tiers = [(count_v3, RETRY_SALTS[0]),
                      (rho_skew_split_count, RETRY_SALTS[0])] + [
-                (rho_join_count_v3, s) for s in RETRY_SALTS[1:]]
+                (count_v3, s) for s in RETRY_SALTS[1:]]
             for fn, salt in tiers:
                 m, c, ovf = attempt(fn, salt)
                 if int(ovf) == 0:
@@ -175,6 +180,8 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                 relR.key, relR.payload, relS.key, relS.payload)
         pt.t.phases["total"] = time.perf_counter() - t0
         return to_join_result(out), pt.t
+    if not cfg.profile_phases:
+        return _radix_fused(relR, relS, cfg, general=False)
     return _rho_xla(relR, relS, cfg)
 
 
@@ -196,8 +203,107 @@ def _rho_xla(relR, relS, cfg):
 
 @register("RHO_seq")
 def RHO_seq(relR, relS, cfg):
-    """RHO with FORCE_2_PHASES semantics (two partition passes), XLA frame."""
+    """RHO with FORCE_2_PHASES semantics (two partition passes), XLA frame.
+    Fused serving path = one program in radix-rotated order (the two-pass
+    layout is a refinement of the same bucket-major order)."""
+    if not cfg.profile_phases:
+        return _radix_fused(relR, relS, cfg, general=False)
     return _rho_xla(relR, relS, cfg.replace(passes=2))
+
+
+# ---------------------------------------------------------------------------
+# Fused radix-order serving paths (one jitted program per run — the analog
+# of the reference serving each algorithm through one `run_join` call at
+# native speed, joins.cpp:33-78; the staged paths above remain for
+# cfg.profile_phases per-phase attribution).
+#
+# The radix frame appears as ORDER, not as separate passes: the fused sort
+# key is the radix-rotated key rot(k) = (k mod 2^bits) * 2^(30-bits) +
+# (k div 2^bits) — a bijection on [0, 2^30) that makes the radix bucket the
+# major sort criterion, exactly the layout the staged partition passes
+# produce.  Equality is preserved under the bijection, so the union-sort
+# join core runs unchanged on rotated keys.
+
+
+def _rot(key, bits: int):
+    """Radix-rotate an int32 key (radix bucket becomes the major bits).
+
+    Bijection on [0, 2^30); NEGATIVE keys (the chunked-output hole
+    sentinel -3, relation.py) map to themselves so a hole can never alias
+    a real rotated key — holes stay inert in downstream joins."""
+    mask = (1 << bits) - 1
+    r = ((key & mask) << (30 - bits)) | (key >> bits)
+    return jnp.where(key < 0, key, r)
+
+
+def _rot_inv(key, bits: int):
+    return _rot(key, 30 - bits)
+
+
+def _supports_rot(relR: Relation) -> bool:
+    return relR.key.dtype == jnp.int32
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "checksum", "general"))
+def _radix_fused_count(rk, rp, sk, sp, bits: int, checksum: bool,
+                       general: bool):
+    rr, sr = _rot(rk, bits), _rot(sk, bits)
+    if general:
+        if checksum:
+            return mergejoin.merge_join_count_general(rr, rp, sr, sp)
+        return mergejoin.merge_join_count_general_keys(rr, sr)
+    if checksum:
+        return mergejoin.merge_join_count(rr, rp, sr, sp)
+    return mergejoin.merge_join_count_keys(rr, sr)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "capacity"))
+def _radix_fused_materialize(rk, rp, sk, sp, bits: int, capacity: int):
+    rr, sr = _rot(rk, bits), _rot(sk, bits)
+    out = mergejoin.merge_join_materialize(rr, rp, sr, sp, capacity)
+    key = jnp.where(out.key >= 0, _rot_inv(out.key, bits), out.key)
+    return out._replace(key=key)
+
+
+def _radix_fused(relR, relS, cfg, general: bool, label="join"):
+    """Shared fused serving path for the radix family (RSM/RHT/RHO_seq XLA).
+    `general=True` uses the duplicate-exact run-count core (histogram join
+    semantics, radix_join.cpp:476-612); False the unique-R propagate core."""
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    bits, _ = plan_radix(relR.num_tuples, cfg)
+    bits = min(bits, 24)
+    if not _supports_rot(relR):
+        return _radix_staged(relR, relS, cfg, general)
+    if cfg.materialize:
+        out = pt.time_fn(
+            label, _radix_fused_materialize, relR.key, relR.payload,
+            relS.key, relS.payload, bits, result_capacity(relS, cfg))
+    else:
+        out = pt.time_fn(
+            label, _radix_fused_count, relR.key, relR.payload,
+            relS.key, relS.payload, bits, cfg.checksum, general)
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t
+
+
+def _radix_staged(relR, relS, cfg, general: bool):
+    """Staged phase-attributed path (partition passes visible to the
+    timer) — cfg.profile_phases and the key64/non-int32 route."""
+    pt = PhaseTimer()
+    t0 = time.perf_counter()
+    rk, rp, sk, sp = _partition_phases(relR, relS, cfg, pt)
+    if cfg.materialize:
+        out = pt.time_fn(
+            "join", mergejoin.merge_join_materialize,
+            rk, rp, sk, sp, result_capacity(relS, cfg))
+    elif general:
+        out = pt.time_fn(
+            "join", mergejoin.merge_join_count_general, rk, rp, sk, sp)
+    else:
+        out = pt.time_fn("join", mergejoin.merge_join_count, rk, rp, sk, sp)
+    pt.t.phases["total"] = time.perf_counter() - t0
+    return to_join_result(out), pt.t
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +348,14 @@ def _rht_probe_materialize_gather(rk_sorted, rp_sorted, sk, sp):
 
 @register("RHT")
 def RHT(relR: Relation, relS: Relation, cfg: JoinConfig):
-    """Radix + per-partition histogram join (radix_join.cpp:1645-1648)."""
+    """Radix + per-partition histogram join (radix_join.cpp:1645-1648).
+
+    Fused serving path: radix-rotated order + the duplicate-exact run-count
+    core — count→prefix→range-scan as data-parallel prefix sums (the
+    histogram join's counting structure), one jitted program.
+    cfg.profile_phases runs the staged partition/build/probe path below."""
+    if not cfg.profile_phases:
+        return _radix_fused(relR, relS, cfg, general=True)
     pt = PhaseTimer()
     t0 = time.perf_counter()
     rk, rp, sk, sp = _partition_phases(relR, relS, cfg, pt)
@@ -265,7 +378,14 @@ def RHT(relR: Relation, relS: Relation, cfg: JoinConfig):
 
 @register("RSM")
 def RSM(relR, relS, cfg):
-    """Radix + per-partition sort-merge (radix_sortmerge_join.cpp:82-137)."""
+    """Radix + per-partition sort-merge (radix_sortmerge_join.cpp:82-137).
+
+    Fused serving path: one jitted program sorting in radix-rotated order
+    (radix bucket = major bits — partition-local sorted runs, exactly the
+    staged layout) + propagation merge.  cfg.profile_phases keeps the
+    staged partition/merge split."""
+    if not cfg.profile_phases:
+        return _radix_fused(relR, relS, cfg, general=False, label="merge")
     pt = PhaseTimer()
     t0 = time.perf_counter()
     rk, rp, sk, sp = _partition_phases(relR, relS, cfg, pt)

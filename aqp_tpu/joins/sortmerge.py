@@ -32,7 +32,7 @@ from aqp_tpu.config import JoinConfig
 from aqp_tpu.joins.api import register
 from aqp_tpu.joins.common import result_capacity, to_join_result
 from aqp_tpu.ops import mergejoin
-from aqp_tpu.relation import Relation
+from aqp_tpu.relation import Relation, JoinResult
 from aqp_tpu.utils.timing import PhaseTimer
 
 # The reference's PARTFANOUT (mway/params.h:16-24): number of independent
@@ -167,11 +167,92 @@ def _mway_materialize(rk, rp, sk, sp, capacity: int):
                                      capacity=capacity)
 
 
+def _mway_pallas_available(relR, relS, cfg) -> bool:
+    if not cfg.use_pallas or cfg.key64 or cfg.profile_phases:
+        return False
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return False
+    except Exception:
+        return False
+    return relR.key.dtype == jnp.int32 and relS.key.dtype == jnp.int32
+
+
+@functools.partial(jax.jit, static_argnames=("with_checksum",))
+def _mway_range_count(rk, rp, sk, sp, with_checksum: bool):
+    """MWAY on the fixed-slot network in RANGE-ROUTED configuration: the
+    sorting phase (K1 block sorts) + the multiway merge (K2/K3 merge
+    networks over MONOTONE key-range buckets — regions in bucket order ARE
+    the globally key-sorted union, the FIFO multiway merge's output,
+    scalar_multiwaymerge.cpp) + the final merge-join (propagation over the
+    sorted union, joincommon.h:82-100).  salt=1 keeps sigma = key; scale
+    maps the OBSERVED key domain onto the bucket range (the reference
+    MWAY's NUMA-local range splits).  Value-skewed domains overflow a
+    range bucket and are REPORTED -> caller falls back to the exact core
+    (the reference's skew-handling consts, joincommon.h:25-29)."""
+    from aqp_tpu.ops.pallas.rho3 import Rho3Params, rho_join_count_v3
+
+    prm = Rho3Params()
+    gmax = prm.f1 * prm.f2
+    kmax = jnp.maximum(jnp.max(rk), jnp.max(sk)).astype(jnp.float32)
+    scale = jnp.float32(gmax) / (kmax + 1.0) * (1.0 - 1e-6)
+    return rho_join_count_v3(rk, rp, sk, sp, salt=1,
+                             with_checksum=with_checksum, scale=scale)
+
+
+@jax.jit
+def _mway_range_materialize(rk, rp, sk, sp):
+    from aqp_tpu.ops.pallas.rho3 import Rho3Params, rho_join_materialize_v3
+
+    prm = Rho3Params()
+    gmax = prm.f1 * prm.f2
+    kmax = jnp.maximum(jnp.max(rk), jnp.max(sk)).astype(jnp.float32)
+    scale = jnp.float32(gmax) / (kmax + 1.0) * (1.0 - 1e-6)
+    return rho_join_materialize_v3(rk, rp, sk, sp, salt=1, scale=scale)
+
+
 @register("MWAY")
 def MWAY(relR: Relation, relS: Relation, cfg: JoinConfig):
-    """m-way sort-merge join (sortmergejoin_multiway.cpp:90-537)."""
+    """m-way sort-merge join (sortmergejoin_multiway.cpp:90-537).
+
+    TPU serving path: the range-routed fixed-slot pipeline
+    (_mway_range_count) — run-sort, multiway merge to GLOBAL key order,
+    merge-join; overflow (value skew) falls back to the exact XLA core.
+    CPU / profile_phases: the explicit run-sort + binary merge tree
+    (_mway_join)."""
     pt = PhaseTimer()
     t0 = time.perf_counter()
+    if _mway_pallas_available(relR, relS, cfg):
+        if cfg.materialize:
+            m, c, ok, orp, osp, ovf = pt.time_fn(
+                "merge", _mway_range_materialize,
+                relR.key, relR.payload, relS.key, relS.payload)
+            if int(ovf) == 0:
+                pt.t.phases["total"] = time.perf_counter() - t0
+                return JoinResult(matches=m, checksum=c, key=ok,
+                                  r_payload=orp, s_payload=osp), pt.t
+            out = pt.time_fn(
+                "merge", mergejoin.merge_join_materialize,
+                relR.key, relR.payload, relS.key, relS.payload,
+                result_capacity(relS, cfg))
+        else:
+            m, c, ovf = pt.time_fn(
+                "merge", _mway_range_count,
+                relR.key, relR.payload, relS.key, relS.payload,
+                cfg.checksum)
+            if int(ovf) == 0:
+                pt.t.phases["total"] = time.perf_counter() - t0
+                return JoinResult(matches=m, checksum=c), pt.t
+            if cfg.checksum:
+                out = pt.time_fn(
+                    "merge", mergejoin.merge_join_count,
+                    relR.key, relR.payload, relS.key, relS.payload)
+            else:
+                out = pt.time_fn(
+                    "merge", mergejoin.merge_join_count_keys,
+                    relR.key, relS.key)
+        pt.t.phases["total"] = time.perf_counter() - t0
+        return to_join_result(out), pt.t
     if cfg.materialize:
         out = pt.time_fn(
             "merge", _mway_materialize,
@@ -194,7 +275,28 @@ _sort_pair = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1))
 def _sortmerge(relR: Relation, relS: Relation, cfg: JoinConfig):
     pt = PhaseTimer()
     t0 = time.perf_counter()
-    # Phase "sort": pre-sort both inputs (PSM sorts R and S in place,
+    if not cfg.profile_phases:
+        # Fused serving path: ONE jitted program — the union sort IS the
+        # parallel sort phase (XLA's sort is a parallel merge hierarchy,
+        # the direct analog of PSM's parallel quicksort+merge,
+        # parallel_sortmerge_join.cpp:86-100) and the propagation scan is
+        # the merge-join phase.
+        if cfg.materialize:
+            out = pt.time_fn(
+                "merge", mergejoin.merge_join_materialize,
+                relR.key, relR.payload, relS.key, relS.payload,
+                result_capacity(relS, cfg))
+        elif cfg.checksum:
+            out = pt.time_fn(
+                "merge", mergejoin.merge_join_count,
+                relR.key, relR.payload, relS.key, relS.payload)
+        else:
+            out = pt.time_fn(
+                "merge", mergejoin.merge_join_count_keys,
+                relR.key, relS.key)
+        pt.t.phases["total"] = time.perf_counter() - t0
+        return to_join_result(out), pt.t
+    # Staged path: pre-sort both inputs (PSM sorts R and S in place,
     # parallel_sortmerge_join.cpp:86-100).  The union sort in the merge core
     # re-merges them; pre-sorted inputs make that a cheap merge inside XLA.
     rk, rp = pt.time_fn("sort", _sort_pair, relR.key, relR.payload)

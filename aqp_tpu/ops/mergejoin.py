@@ -135,6 +135,39 @@ def join_sorted_union(r_key, r_payload, s_key, s_payload):
 
 
 @jax.jit
+def merge_join_count_keys(r_key, s_key) -> JoinCounts:
+    """Matches-only count join (no payload lanes move — the reference count
+    branch likewise never reads payloads, radix_join.cpp:428-447).
+    Checksum returns uint32(0).  Unique R keys."""
+    skey = jnp.concatenate([r_key << 1, (s_key << 1) | 1])
+    pk = jax.lax.sort(skey)
+    is_r = (pk & 1) == 0
+    sk = pk >> 1
+    zero = jnp.zeros_like(sk)
+    _, prop_key, _ = _last_valid_scan(is_r, jnp.where(is_r, sk, _NEG), zero)
+    match = (~is_r) & (prop_key == sk)
+    return JoinCounts(jnp.sum(match, dtype=jnp.int32), jnp.uint32(0))
+
+
+@jax.jit
+def merge_join_count_general_keys(r_key, s_key) -> JoinCounts:
+    """Matches-only duplicate-tolerant count (multiplicity-exact)."""
+    skey = jnp.concatenate([r_key << 1, (s_key << 1) | 1])
+    pk2 = jax.lax.sort(skey)
+    sk = pk2 >> 1
+    is_r = (pk2 & 1) == 0
+    r_ind = is_r.astype(jnp.int32)
+    r_pref = jnp.cumsum(r_ind)
+    prev_key = jnp.concatenate([jnp.full((1,), -1, sk.dtype), sk[:-1]])
+    run_start = sk != prev_key
+    base_cnt = jnp.where(run_start, r_pref - r_ind, 0)
+    _, run_cnt0, _ = _last_valid_scan(
+        run_start, base_cnt, jnp.zeros_like(base_cnt))
+    mult = jnp.where(~is_r, r_pref - run_cnt0, 0)
+    return JoinCounts(jnp.sum(mult, dtype=jnp.int32), jnp.uint32(0))
+
+
+@jax.jit
 def merge_join_count(r_key, r_payload, s_key, s_payload) -> JoinCounts:
     """Exact match count + mod-2^32 checksum (CHT checksum oracle analog,
     CHTJoin.hpp:154-178), unique R keys."""
@@ -221,21 +254,11 @@ def compact_matches(hit, key, r_payload, s_payload, capacity: int
     return JoinMaterialized(matches, checksum, out_k, out_rp, out_sp)
 
 
-@jax.jit
-def merge_join_count_general(r_key, r_payload, s_key, s_payload) -> JoinCounts:
-    """Duplicate-tolerant count: per-S-row match multiplicity via run-length
-    ranks.  Counts (not materialization) for arbitrary R key multiplicity.
-
-    matches = Σ_s (#R rows with that key).  Computed as: sort union; for each
-    position, run-start via key-change detection; R-count per run via
-    prefix sums; each S row adds the R-count of its run.  Checksum uses the
-    *sum* of R payloads in the run (Σ_r (r_pay) + mult·s_pay ≡ Σ pairs).
-    """
-    nr = r_key.shape[0]
-    ns = s_key.shape[0]
-    skey = jnp.concatenate([r_key << 1, (s_key << 1) | 1])
-    pay = jnp.concatenate([r_payload, s_payload])
-    pk2, spay = jax.lax.sort((skey, pay), num_keys=1)
+def count_general_scan(pk2, spay) -> JoinCounts:
+    """The run-count scan of the duplicate-exact core, on a PRE-SORTED
+    packed union (pk2 = key<<1|tag ascending, spay aligned payloads) —
+    shared by merge_join_count_general and engines that sort in a
+    different (e.g. hash-bucket-major) order first."""
     sk = pk2 >> 1
     is_r = (pk2 & 1) == 0
     r_ind = is_r.astype(jnp.int32)
@@ -259,3 +282,19 @@ def merge_join_count_general(r_key, r_payload, s_key, s_payload) -> JoinCounts:
         rpay_sum + mult.astype(jnp.uint32) * spay.astype(jnp.uint32), dtype=jnp.uint32
     )
     return JoinCounts(matches, checksum)
+
+
+@jax.jit
+def merge_join_count_general(r_key, r_payload, s_key, s_payload) -> JoinCounts:
+    """Duplicate-tolerant count: per-S-row match multiplicity via run-length
+    ranks.  Counts (not materialization) for arbitrary R key multiplicity.
+
+    matches = Σ_s (#R rows with that key).  Computed as: sort union; for each
+    position, run-start via key-change detection; R-count per run via
+    prefix sums; each S row adds the R-count of its run.  Checksum uses the
+    *sum* of R payloads in the run (Σ_r (r_pay) + mult·s_pay ≡ Σ pairs).
+    """
+    skey = jnp.concatenate([r_key << 1, (s_key << 1) | 1])
+    pay = jnp.concatenate([r_payload, s_payload])
+    pk2, spay = jax.lax.sort((skey, pay), num_keys=1)
+    return count_general_scan(pk2, spay)

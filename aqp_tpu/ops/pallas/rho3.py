@@ -383,19 +383,13 @@ def _modinv_pow2(salt, bits=30):
     return inv & ((1 << bits) - 1)
 
 
-def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
-                      interpret: bool, with_payload: bool = True):
-    """Shared K1+K2 front end: pack, pad, two-level fixed-slot partition.
+def pack_keys(key, tag, salt):
+    """Pack one relation's keys: packed = sigma(key)<<1 | tag, with input
+    pads dropped and domain violations / pad-aliasing keys REPORTED.
 
-    Returns (k2, p2, nbg, ovf, alias); p2 is None when with_payload=False
-    (count-only pipeline: no payload lanes move — matches the reference
-    count path, which never reads payloads, radix_join.cpp:428-447)."""
-    use_gather = not interpret
-    block = prm.block_rows * LANES
+    Returns (packed, alias_count)."""
     cmul = jnp.int32(salt)
-    key = jnp.concatenate([rk, sk])
     sig = (key * cmul) & HASH_MASK
-    tag = jnp.concatenate([jnp.zeros_like(rk), jnp.ones_like(sk)])
     # input pads ([MAX_KEY, 2^30), see PAD_R_INPUT) drop at K1 via the pad
     # encoding; out-of-domain keys are REPORTED (packed equality would
     # alias keys mod 2^30 — never silently wrong)
@@ -406,6 +400,24 @@ def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
     # the one key with sigma == 2^30-1 aliases the pad encoding: report
     alias = viol + jnp.sum(((sig == HASH_MASK) & ~drop).astype(jnp.int32),
                            dtype=jnp.int32)
+    return packed, alias
+
+
+def route_2level(packed, pay, prm: Rho3Params, interpret: bool,
+                 with_payload: bool, scale=None):
+    """Two-level fixed-slot routing (K1+K2) of ONE packed array.
+
+    Returns (k2, p2, nbg, ovf): fine slots (f1, nbg, f2, kd_slot_rows,
+    LANES) and the overflow counter.  p2 is None when with_payload=False.
+
+    `scale` (traced f32 scalar, optional) overrides the sigma->bucket map
+    gmax/2^30: bucket = min(int(sigma * scale), gmax-1).  With salt=1
+    (sigma = key) and scale = gmax/(max_key+1) the routing is a MONOTONE
+    RANGE partition — the multiway-merge configuration (ops for MWAY):
+    concatenating the sorted regions in bucket order yields the globally
+    key-sorted union."""
+    use_gather = not interpret
+    block = prm.block_rows * LANES
     n = packed.shape[0]
     nb = max(-(-n // block), prm.group)
     nb = _next_pow2(nb)
@@ -415,11 +427,13 @@ def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
         packed = jnp.concatenate(
             [packed, jnp.full((padn,), KEY_PAD_INT, jnp.int32)])
     gmax = prm.f1 * prm.f2
-    scale = jnp.float32(gmax / (1 << 30) * (1.0 - 1e-6))
+    if scale is None:
+        scale = jnp.float32(gmax / (1 << 30) * (1.0 - 1e-6))
+    else:
+        scale = scale.astype(jnp.float32)
 
     kw = packed.reshape(nb * prm.block_rows, LANES)
     if with_payload:
-        pay = jnp.concatenate([rp, sp])
         if padn:
             pay = jnp.concatenate([pay, jnp.zeros((padn,), jnp.int32)])
         pw = pay.reshape(nb * prm.block_rows, LANES)
@@ -487,14 +501,31 @@ def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
     else:
         k2, ovf2 = out2
         p2 = None
-    return k2, p2, nbg, ovf1[0, 0] + ovf2[0, 0], alias
+    return k2, p2, nbg, ovf1[0, 0] + ovf2[0, 0]
+
+
+def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
+                      interpret: bool, with_payload: bool = True,
+                      scale=None):
+    """Shared K1+K2 front end: pack, pad, two-level fixed-slot partition.
+
+    Returns (k2, p2, nbg, ovf, alias); p2 is None when with_payload=False
+    (count-only pipeline: no payload lanes move — matches the reference
+    count path, which never reads payloads, radix_join.cpp:428-447)."""
+    key = jnp.concatenate([rk, sk])
+    tag = jnp.concatenate([jnp.zeros_like(rk), jnp.ones_like(sk)])
+    packed, alias = pack_keys(key, tag, salt)
+    pay = jnp.concatenate([rp, sp]) if with_payload else None
+    k2, p2, nbg, ovf = route_2level(packed, pay, prm, interpret,
+                                    with_payload, scale=scale)
+    return k2, p2, nbg, ovf, alias
 
 
 @functools.partial(jax.jit,
                    static_argnames=("prm", "interpret", "with_checksum"))
 def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
                       salt: int = HASH_C, interpret: bool = False,
-                      with_checksum: bool = True):
+                      with_checksum: bool = True, scale=None):
     """Fused two-level fixed-slot Pallas RHO count join.
 
     Returns (matches, checksum, overflow).  overflow > 0 => result invalid
@@ -510,7 +541,8 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
     """
     use_gather = not interpret
     k2, p2, nbg, ovf, alias = _partition_2level(
-        rk, rp, sk, sp, prm, salt, interpret, with_payload=with_checksum)
+        rk, rp, sk, sp, prm, salt, interpret, with_payload=with_checksum,
+        scale=scale)
 
     narr = 2 if with_checksum else 1
     # ---- K3: region (f1, f2) = all nbg windows' slot f2: static index map
@@ -533,7 +565,8 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
 
 @functools.partial(jax.jit, static_argnames=("prm", "interpret"))
 def rho_join_materialize_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
-                            salt: int = HASH_C, interpret: bool = False):
+                            salt: int = HASH_C, interpret: bool = False,
+                            scale=None):
     """Fused Pallas RHO join with MATERIALIZED output columns.
 
     Returns (matches, checksum, out_key, out_rpay, out_spay, overflow).
@@ -548,7 +581,7 @@ def rho_join_materialize_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
     """
     use_gather = not interpret
     k2, p2, nbg, ovf, alias = _partition_2level(
-        rk, rp, sk, sp, prm, salt, interpret)
+        rk, rp, sk, sp, prm, salt, interpret, scale=scale)
     w = nbg * prm.kd_slot_rows
     inv = _modinv_pow2(jnp.int32(salt)).reshape(1, 1)
 
