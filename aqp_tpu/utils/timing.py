@@ -53,6 +53,18 @@ def ensure_platform_from_env():
     # experiment driver gets it, not just __main__/bench.py.
     os.environ.setdefault(
         "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=100000")
+    # Persistent compile cache for experiment drivers.  Deliberately a
+    # DIFFERENT dir from bench.py's committed .jax_cache: bench entries
+    # ship with the repo to keep driver bench runs fast, while experiment
+    # compiles (many engine geometries) stay local-only (.gitignore) so
+    # they don't bloat history (ADVICE.md r3).
+    cache = os.environ.get("AQP_CACHE_DIR", "/root/repo/.jax_cache_exp")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 PHASE_KEYS = (
