@@ -129,7 +129,7 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
         )
 
         from aqp_tpu.joins.skewtier import (
-            rho_skew_split_count, rho_skew_split_materialize)
+            rho_skew_fused_count, rho_skew_split_materialize, skew_hint)
 
         pt = PhaseTimer()
         t0 = time.perf_counter()
@@ -147,6 +147,8 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
             tiers = [(rho_join_materialize_v3, RETRY_SALTS[0]),
                      (rho_skew_split_materialize, RETRY_SALTS[0])] + [
                 (rho_join_materialize_v3, s) for s in RETRY_SALTS[1:]]
+            if skew_hint(relS.key):
+                tiers = [tiers[1], tiers[0]] + tiers[2:]
             for fn, salt in tiers:
                 m, c, ok, orp, osp, ovf = attempt(fn, salt)
                 if int(ovf) == 0:
@@ -160,9 +162,19 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                 return rho_join_count_v3(rk, rp, sk, sp, salt=salt,
                                          with_checksum=cfg.checksum)
 
+            def skew_v3(rk, rp, sk, sp, salt):
+                return rho_skew_fused_count(rk, rp, sk, sp, salt,
+                                            with_checksum=cfg.checksum)
+
             tiers = [(count_v3, RETRY_SALTS[0]),
-                     (rho_skew_split_count, RETRY_SALTS[0])] + [
+                     (skew_v3, RETRY_SALTS[0])] + [
                 (count_v3, s) for s in RETRY_SALTS[1:]]
+            # cached relation statistic: under detected probe-side skew the
+            # heavy-split tier goes FIRST — no wasted full-pipeline run
+            # (the reference's task queues absorb skew without a restart;
+            # the stats-driven tier pick is the SPMD analog)
+            if skew_hint(relS.key):
+                tiers = [tiers[1], tiers[0]] + tiers[2:]
             for fn, salt in tiers:
                 m, c, ovf = attempt(fn, salt)
                 if int(ovf) == 0:

@@ -122,6 +122,102 @@ def rho_skew_split_count(rk, rp, sk, sp, salt):
     return m + mh, c + ch, ovf
 
 
+# ---------------------------------------------------------------------------
+# Round-4 serving path: ONE fused program + cached relation statistics
+# (VERDICT r3 item 4: the staged ladder paid one wasted pipeline run plus
+# 4-5 dispatch round-trips per skewed join — 81 M rows/s at z=1.5).
+
+
+@functools.partial(jax.jit, static_argnames=("with_checksum",))
+def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True):
+    """Fully fused heavy-split count join: candidate detection, exact
+    closed-form heavy contribution, residual remap, and the fixed-slot
+    residual pipeline as ONE jitted program (single dispatch).
+
+    Keys-only mode (with_checksum=False) skips every payload reduction —
+    the heavy statistics reduce to counts and the residual pipeline moves
+    no payload lanes (reference count branch, radix_join.cpp:428-447)."""
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT, rho_join_count_v3
+
+    hk = heavy_candidates(sk)
+    valid = hk >= 0
+
+    def stats(key, pay, chunk=1 << 22):
+        n = key.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            key = jnp.concatenate([key, jnp.full((pad,), -1, key.dtype)])
+            if with_checksum:
+                pay = jnp.concatenate([pay, jnp.zeros((pad,), pay.dtype)])
+        kc = key.reshape(-1, chunk)
+        pc = pay.reshape(-1, chunk) if with_checksum else kc
+
+        def body(carry, kp):
+            c, s = carry
+            k, p = kp
+            eq = k[:, None] == hk[None, :]
+            c = c + jnp.sum(eq.astype(jnp.int32), axis=0)
+            if with_checksum:
+                s = s + jnp.sum(
+                    jnp.where(eq, p[:, None].astype(jnp.uint32), 0),
+                    axis=0, dtype=jnp.uint32)
+            return (c, s), None
+
+        (cnt, psum), _ = jax.lax.scan(
+            body, (jnp.zeros((hk.shape[0],), jnp.int32),
+                   jnp.zeros((hk.shape[0],), jnp.uint32)), (kc, pc))
+        return cnt, psum
+
+    cnt, sps = stats(sk, sp)
+    rcnt, rph = stats(rk, rp)
+    use = valid & (rcnt > 0)
+    mh = jnp.sum(jnp.where(use, cnt, 0), dtype=jnp.int32)
+    if with_checksum:
+        ch = jnp.sum(
+            jnp.where(use, cnt.astype(jnp.uint32) * rph + sps, jnp.uint32(0)),
+            dtype=jnp.uint32)
+    else:
+        ch = jnp.uint32(0)
+    pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
+    is_heavy = (hk[pos] == sk) & (sk >= 0)
+    sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
+    m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt,
+                                  with_checksum=with_checksum)
+    return m + mh, c + ch, ovf
+
+
+_HINT_CACHE: dict = {}
+
+
+@jax.jit
+def _max_sample_run(s_key):
+    sample = jnp.sort(s_key[::SAMPLE_STRIDE])
+    n = sample.shape[0]
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), sample[1:] != sample[:-1]])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(start, idx, -1))
+    return jnp.max(idx - run_start + 1)
+
+
+def skew_hint(s_key) -> bool:
+    """Cheap cached skew statistic for a probe relation: does a strided
+    sample contain a qualifying heavy run?  The analog of base-table
+    statistics in a database engine — computed once per relation (cached
+    by array identity), so the dispatcher can pick the heavy-split tier
+    FIRST instead of burning a full pipeline run to discover skew."""
+    key = id(s_key)
+    hit = _HINT_CACHE.get(key)
+    if hit is not None and hit[0] is s_key:
+        return hit[1]
+    flag = bool(int(_max_sample_run(s_key)) >= MIN_SAMPLE_RUN)
+    # strong refs keep the cached relations alive; keep the cache tiny
+    if len(_HINT_CACHE) >= 8:
+        _HINT_CACHE.clear()
+    _HINT_CACHE[key] = (s_key, flag)
+    return flag
+
+
 @jax.jit
 def heavy_materialize(rk, rp, sk, sp, hk):
     """Materialized heavy rows, emitted IN PLACE (unique R keys make the
@@ -151,6 +247,7 @@ def heavy_materialize(rk, rp, sk, sp, hk):
     return matches, checksum, out_k, out_rp, out_sp, sk_res
 
 
+@jax.jit
 def rho_skew_split_materialize(rk, rp, sk, sp, salt):
     """Heavy-split materializing join.  Output = residual pipeline's
     region-chunked columns concatenated with the in-place heavy columns

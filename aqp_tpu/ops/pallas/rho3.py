@@ -371,6 +371,15 @@ def _make_k3m(prm: Rho3Params, nbg: int, use_gather: bool):
     return kernel
 
 
+def _sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct with optional varying-manual-axes typing: inside a
+    check_vma shard_map, pallas_call outputs must declare their vma (the
+    per-shard results ARE shard-varying) — jax 0.9 shard_map typing."""
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 1).bit_length() if x > 1 else 1
 
@@ -404,7 +413,7 @@ def pack_keys(key, tag, salt):
 
 
 def route_2level(packed, pay, prm: Rho3Params, interpret: bool,
-                 with_payload: bool, scale=None):
+                 with_payload: bool, scale=None, vma=None):
     """Two-level fixed-slot routing (K1+K2) of ONE packed array.
 
     Returns (k2, p2, nbg, ovf): fine slots (f1, nbg, f2, kd_slot_rows,
@@ -449,8 +458,7 @@ def route_2level(packed, pay, prm: Rho3Params, interpret: bool,
     # ---- K1
     slot_spec = pl.BlockSpec((1, prm.f1, prm.slot_rows, LANES),
                              lambda i, s: (i, 0, 0, 0))
-    slot_shape = jax.ShapeDtypeStruct(
-        (nb, prm.f1, prm.slot_rows, LANES), jnp.int32)
+    slot_shape = _sds((nb, prm.f1, prm.slot_rows, LANES), jnp.int32, vma)
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -464,7 +472,7 @@ def route_2level(packed, pay, prm: Rho3Params, interpret: bool,
         _make_k1(prm, gmax, use_gather, with_payload),
         grid_spec=grid1,
         out_shape=[slot_shape] * narr + [
-            jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+            _sds((1, 1), jnp.int32, vma)],
         interpret=interpret,
     )(scale.reshape(1), *((kw, pw) if with_payload else (kw,)))
     if with_payload:
@@ -477,8 +485,8 @@ def route_2level(packed, pay, prm: Rho3Params, interpret: bool,
     nbg = nb // prm.group
     fine_spec = pl.BlockSpec((1, 1, prm.f2, prm.kd_slot_rows, LANES),
                              lambda f, g, s: (f, g, 0, 0, 0))
-    fine_shape = jax.ShapeDtypeStruct(
-        (prm.f1, nbg, prm.f2, prm.kd_slot_rows, LANES), jnp.int32)
+    fine_shape = _sds(
+        (prm.f1, nbg, prm.f2, prm.kd_slot_rows, LANES), jnp.int32, vma)
     grid2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(prm.f1, nbg),
@@ -493,7 +501,7 @@ def route_2level(packed, pay, prm: Rho3Params, interpret: bool,
         _make_k2(prm, gmax, use_gather, with_payload),
         grid_spec=grid2,
         out_shape=[fine_shape] * narr + [
-            jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+            _sds((1, 1), jnp.int32, vma)],
         interpret=interpret,
     )(scale.reshape(1), *((k1, p1) if with_payload else (k1,)))
     if with_payload:
@@ -506,7 +514,7 @@ def route_2level(packed, pay, prm: Rho3Params, interpret: bool,
 
 def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
                       interpret: bool, with_payload: bool = True,
-                      scale=None):
+                      scale=None, vma=None):
     """Shared K1+K2 front end: pack, pad, two-level fixed-slot partition.
 
     Returns (k2, p2, nbg, ovf, alias); p2 is None when with_payload=False
@@ -517,15 +525,16 @@ def _partition_2level(rk, rp, sk, sp, prm: Rho3Params, salt,
     packed, alias = pack_keys(key, tag, salt)
     pay = jnp.concatenate([rp, sp]) if with_payload else None
     k2, p2, nbg, ovf = route_2level(packed, pay, prm, interpret,
-                                    with_payload, scale=scale)
+                                    with_payload, scale=scale, vma=vma)
     return k2, p2, nbg, ovf, alias
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("prm", "interpret", "with_checksum"))
+                   static_argnames=("prm", "interpret", "with_checksum",
+                                    "vma"))
 def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
                       salt: int = HASH_C, interpret: bool = False,
-                      with_checksum: bool = True, scale=None):
+                      with_checksum: bool = True, scale=None, vma=None):
     """Fused two-level fixed-slot Pallas RHO count join.
 
     Returns (matches, checksum, overflow).  overflow > 0 => result invalid
@@ -542,7 +551,7 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
     use_gather = not interpret
     k2, p2, nbg, ovf, alias = _partition_2level(
         rk, rp, sk, sp, prm, salt, interpret, with_payload=with_checksum,
-        scale=scale)
+        scale=scale, vma=vma)
 
     narr = 2 if with_checksum else 1
     # ---- K3: region (f1, f2) = all nbg windows' slot f2: static index map
@@ -554,8 +563,8 @@ def rho_join_count_v3(rk, rp, sk, sp, prm: Rho3Params = Rho3Params(),
             lambda a, b: (a, 0, b, 0, 0))] * narr,
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_shape=[
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            _sds((1, 1), jnp.int32, vma),
+            _sds((1, 1), jnp.int32, vma),
         ],
         interpret=interpret,
     )(*((k2, p2) if with_checksum else (k2,)))

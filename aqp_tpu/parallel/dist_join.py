@@ -39,15 +39,24 @@ def _resolve_engine(engine: str) -> str:
 
 
 def _vma_check(engine: str) -> bool:
-    """shard_map(check_vma=...) per engine: pallas_call out_shapes carry no
-    varying-manual-axes typing (jax 0.9 requires explicit vma on
-    ShapeDtypeStruct inside check_vma shard_maps), so the Pallas tier runs
-    with the check off; the XLA tier keeps it on (the CPU parity tests are
-    where the typing check has teeth)."""
-    return engine != "pallas"
+    """check_vma is ON for the production paths: XLA everywhere, and the
+    COMPILED Pallas tier (its pallas_call out_shapes now declare vma, so a
+    future body change that forgets a psum fails the static replication
+    check instead of silently returning device-0's local value —
+    ADVICE.md r3).  The single exception is the Pallas tier in INTERPRET
+    mode (CPU meshes): jax 0.9's pallas interpreter evaluates the kernel
+    jaxpr with empty-vma constants against shard-varying refs and rejects
+    any mixed-vma op, so the check cannot run there; the CPU parity test
+    still pins the pallas shard_map path's VALUES, and the TPU pass pins
+    the typing (tests/test_tpu.py)."""
+    try:
+        cpu = jax.devices()[0].platform == "cpu"
+    except Exception:
+        cpu = True
+    return not (engine == "pallas" and cpu)
 
 
-def _local_count(rk, rp, sk, sp, engine: str):
+def _local_count(rk, rp, sk, sp, engine: str, axis: str | None = None):
     """Shard-local count join.  Returns (matches, checksum, local_overflow).
 
     engine="pallas" runs the fused fixed-slot rho3 pipeline (the same kernel
@@ -62,7 +71,15 @@ def _local_count(rk, rp, sk, sp, engine: str):
 
         rk = jnp.where(rk < 0, PAD_R_INPUT, rk)
         sk = jnp.where(sk < 0, PAD_S_INPUT, sk)
-        m, c, ovf = rho_join_count_v3(rk, rp, sk, sp)
+        # CPU meshes run the pipeline in interpret mode so the pallas-tier
+        # shard_map path (incl. its vma typing) is testable without a chip
+        interp = jax.devices()[0].platform == "cpu"
+        # pallas_call out_shapes declare their vma (shard-varying: each
+        # shard joins its own partition) so check_vma stays ON
+        axes = (None if axis is None else
+                ((axis,) if isinstance(axis, str) else tuple(axis)))
+        m, c, ovf = rho_join_count_v3(rk, rp, sk, sp, interpret=interp,
+                                      vma=axes)
         return m, c, ovf
     local = mergejoin.merge_join_count(rk, rp, sk, sp)
     return local.matches, local.checksum, jnp.int32(0)
@@ -72,7 +89,7 @@ def _dist_join_count_body(rk, rp, sk, sp, axis: str, cap_r: int, cap_s: int,
                           salt: int = 0, engine: str = "xla"):
     rk2, rp2, ovf_r = shuffle_relation(rk, rp, axis, cap_r, PAD_R, salt=salt)
     sk2, sp2, ovf_s = shuffle_relation(sk, sp, axis, cap_s, PAD_S, salt=salt)
-    m, c, ovf_l = _local_count(rk2, rp2, sk2, sp2, engine)
+    m, c, ovf_l = _local_count(rk2, rp2, sk2, sp2, engine, axis)
     matches = jax.lax.psum(m, axis)
     checksum = jax.lax.psum(c, axis)
     return matches, checksum, ovf_r + jax.lax.psum(ovf_l, axis), ovf_s
@@ -128,7 +145,7 @@ def _dist_join_count_ring_body(rk, rp, sk, sp, axis: str, n: int,
         # compute instead of partition writes hidden under scatter).
         rk_n = jax.lax.ppermute(rk_c, axis, perm)
         rp_n = jax.lax.ppermute(rp_c, axis, perm)
-        lm, lc, _ = _local_count(rk_c, rp_c, sk, sp, engine)
+        lm, lc, _ = _local_count(rk_c, rp_c, sk, sp, engine, axis)
         return rk_n, rp_n, m + lm, ck + lc.astype(jnp.uint32)
 
     # accumulators are shard-varying (shard_map manual-axes typing)
@@ -265,7 +282,8 @@ def _dist_join_count_2d_body(rk, rp, sk, sp, host_axis, chip_axis,
         rk, rp, host_axis, chip_axis, cap_hr, cap_cr, PAD_R, salt=salt)
     sk2, sp2, ovf_s = shuffle_relation_hier(
         sk, sp, host_axis, chip_axis, cap_hs, cap_cs, PAD_S, salt=salt)
-    m, c, ovf_l = _local_count(rk2, rp2, sk2, sp2, engine)
+    m, c, ovf_l = _local_count(rk2, rp2, sk2, sp2, engine,
+                               (host_axis, chip_axis))
     matches = jax.lax.psum(jax.lax.psum(m, host_axis), chip_axis)
     checksum = jax.lax.psum(jax.lax.psum(c, host_axis), chip_axis)
     ovf_l = jax.lax.psum(jax.lax.psum(ovf_l, host_axis), chip_axis)

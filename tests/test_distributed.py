@@ -188,3 +188,26 @@ def test_dist_join_ring_non_divisible():
     m, ck = dist_join_count_ring(r, s, mesh)
     assert int(m) == int(ref.matches) == ns
     assert int(ck) == int(ref.checksum)
+
+
+def test_dist_join_pallas_engine_cpu_mesh_parity():
+    """Pallas-engine shard_map path on the CPU mesh (interpret mode): the
+    vma typing of the pallas tier (lax.pvary re-typing in _local_count)
+    must pass check_vma AND the counts must match the XLA tier exactly
+    (ADVICE.md r3: never run the production multi-chip path with the
+    replication check off)."""
+    from aqp_tpu.parallel.dist_join import make_dist_join_count
+    from aqp_tpu.parallel.mesh import shard_relation
+
+    r = create_relation_pk(1 << 9, seed=424)
+    s = create_relation_fk(1 << 11, 1 << 9, seed=525)
+    ref = merge_join_count(r.key, r.payload, s.key, s.payload)
+    mesh = make_mesh(8)
+    R = shard_relation(r, mesh)
+    S = shard_relation(s, mesh)
+    fn = make_dist_join_count(mesh, R.num_tuples, S.num_tuples,
+                              engine="pallas")
+    m, ck, ovf_r, ovf_s = fn(R.key, R.payload, S.key, S.payload)
+    assert int(ovf_r) == 0 and int(ovf_s) == 0
+    assert int(m) == int(ref.matches) == s.num_tuples
+    assert int(ck) == int(ref.checksum)
