@@ -1,0 +1,288 @@
+"""Fast mask compaction: lane-recursive-doubling + MXU row scatter.
+
+The write-producing scan modes (SIMD512 index/values/dict — SIMD512.cpp
+compressstoreu kernels) and the aggregate/materialize paths all reduce to
+one primitive: compact the elements where mask holds, preserving order.
+Round 3 served this with a full in-VMEM bitonic SORT per block
+(ops/pallas/compact.compact_kp — ~153 compare-exchange stages); but a
+0/1-partition does not need a sort.  This kernel compacts a (W, 128)
+window in ~12 vector passes + two small MXU matmuls:
+
+  1. LANE compaction per row (stable): recursive doubling over lane groups
+     g = 1..64 — at each stage adjacent compacted groups concatenate via
+     one `take_along_axis` (the VPU's dynamic lane gather).  Only the
+     SOURCE-INDEX map is pushed through the stages; payload arrays are
+     gathered once at the end.
+  2. CROSS-ROW placement: row r's compacted run starts at the global
+     offset C_r (exclusive prefix of row counts, a (W,1) log-shift scan).
+     Each row lands in at most TWO output rows, so placement = one
+     per-row lane ROTATION (take_along_axis with per-row shift) + two
+     ONE-HOT int8 matmuls on the MXU (P1[d,r] = d==C_r>>7 and the +1 row;
+     masked parts are lane-disjoint, so the matmul's sum IS the merge —
+     the same 4×8-bit-plane exactness trick as rho3._extract_slots_mxu).
+  3. Windows concatenate with row-granular dynamic-size DMAs
+     (compact.scatter_segments) — boundary rows may carry pad elements
+     (the established block-granular contract of compact_kp).
+
+Replaces the reference's AVX-512 `vcompressstoreu` (SIMD512.cpp) with a
+TPU-native design: the VPU has no compress instruction, but it has cheap
+lane gathers and a free systolic array.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aqp_tpu.ops.pallas.compact import (
+    PAD_R_INPUT,
+    PAD_S_INPUT,
+    scatter_segments,
+)
+
+LANES = 128
+
+
+def _lane_compact_map(m):
+    """Per-row stable compaction map from a bool mask (W, 128).
+
+    Returns (s, crow): s[r, o] = source lane of the o-th valid lane in row
+    r (garbage for o >= crow[r]); crow (W, 1) = per-row valid count.
+    log2(128) = 7 stages of recursive doubling; each stage concatenates
+    adjacent compacted lane groups with one gather."""
+    w = m.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 1)
+    s = lane
+    c = m.astype(jnp.int32)
+    g = 1
+    while g < LANES:
+        t = lane & (2 * g - 1)
+        b = lane - t
+        a = jnp.take_along_axis(c, b, axis=1)        # lower-group count
+        chi = jnp.take_along_axis(c, jnp.minimum(b + g, LANES - 1), axis=1)
+        src = jnp.where(t < a, lane, b + g + (t - a))
+        s = jnp.take_along_axis(s, jnp.clip(src, 0, LANES - 1), axis=1)
+        c = a + chi
+        g *= 2
+    return s, c[:, :1]
+
+
+def _row_prefix(crow):
+    """Exclusive prefix over rows of a (W, 1) int32 column (log shifts)."""
+    w = crow.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    incl = crow
+    d = 1
+    while d < w:
+        sh = jnp.where(row >= d, pltpu.roll(incl, d, axis=0), 0)
+        incl = incl + sh
+        d *= 2
+    return incl - crow, incl
+
+
+def _mm_onehot(P, x):
+    """Exact int32 gather-matmul: P (Wo, W) one-hot int8, x (W, 128) int32.
+    Four 8-bit planes recombine with two's-complement wraparound (the
+    rho3._extract_slots_mxu trick)."""
+    planes = [((x >> (8 * i)) & 0xFF).astype(jnp.int8) for i in range(4)]
+    xp = jnp.concatenate(planes, axis=1)             # (W, 4*LANES)
+    y = jax.lax.dot_general(P, xp, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    L = LANES
+    return ((y[:, 0:L] & 0xFF) | ((y[:, L:2 * L] & 0xFF) << 8)
+            | ((y[:, 2 * L:3 * L] & 0xFF) << 16) | (y[:, 3 * L:] << 24))
+
+
+def _window_compact(m, arrays, fills):
+    """Compact one (W, 128) window by mask `m`.
+
+    arrays: list of int32 (W, 128) payloads moved through the compaction;
+    fills: per-array fill value for slots past the window's total count.
+    Returns (outs, total): outs[i] (W, 128) with the window's valid
+    elements dense at the front (row-major), total = (1, 1) count."""
+    w = m.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 1)
+    s, crow = _lane_compact_map(m)
+    cx, incl = _row_prefix(crow)
+    total = incl[w - 1:w, :]                          # (1,1)
+    shift = cx & (LANES - 1)
+    d1 = cx >> 7                                      # (W, 1) dest row
+    rot_idx = (lane - shift) & (LANES - 1)
+    # one-hot routing matrices (dest-row o <- source-row r)
+    o_i = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    d1_row = jnp.swapaxes(d1, 0, 1)                   # (1, W)
+    P1 = (o_i == d1_row).astype(jnp.int8)
+    P2 = (o_i == d1_row + 1).astype(jnp.int8)
+    tA = lane - shift                                 # rank if no wrap
+    partA = (lane >= shift) & (tA < crow)
+    partB = (lane < shift) & (tA + LANES < crow)
+    opos = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0) * LANES + lane
+    live = opos < total
+    outs = []
+    for x, fill in zip(arrays, fills):
+        ck = jnp.take_along_axis(x, s, axis=1)        # lane-compacted
+        ck = jnp.where(lane < crow, ck, 0)
+        rk = jnp.take_along_axis(ck, rot_idx, axis=1)
+        xa = jnp.where(partA, rk, 0)
+        xb = jnp.where(partB, rk, 0)
+        o = _mm_onehot(P1, xa) + _mm_onehot(P2, xb)
+        outs.append(jnp.where(live, o, fill))
+    return outs, total
+
+
+def _make_kernel(w: int, narr: int, fills, with_ids: bool, base_elems: int):
+    """Grid kernel: col-window mask + payloads -> compacted block + count.
+
+    with_ids: prepend the global element index as payload 0 (free: it is
+    the compaction map itself plus the window base)."""
+
+    def kernel(lohi_ref, m_ref, *refs):
+        ins = list(refs[:narr])
+        outs = list(refs[narr:narr + narr + (1 if with_ids else 0)])
+        cnt_ref = refs[-1]
+        x = m_ref[:]
+        lo = lohi_ref[0]
+        hi = lohi_ref[1]
+        m = (x >= lo) & (x <= hi)
+        arrays = []
+        f = list(fills)
+        if with_ids:
+            base = pl.program_id(0) * base_elems
+            lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+            arrays.append(base + row * LANES + lane)
+        for r in ins:
+            arrays.append(r[:])
+        res, total = _window_compact(m, arrays, f)
+        for o_ref, o in zip(outs, res):
+            o_ref[0] = o
+        cnt_ref[:] = jnp.broadcast_to(total, (1, LANES)).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret", "with_ids",
+                                             "fills"))
+def _compact_windows(col_i32, payloads, lo, hi, w: int, interpret: bool,
+                     with_ids: bool, fills):
+    """Run the window kernel over the whole column.
+
+    Returns (list of (nb, w, 128) compacted blocks, counts (nb,))."""
+    n = col_i32.shape[0]
+    block = w * LANES
+    pad = (-n) % block
+    sent = jnp.int32(jnp.iinfo(jnp.int32).min)  # never matches [lo, hi]
+    if pad:
+        col_i32 = jnp.concatenate(
+            [col_i32, jnp.full((pad,), sent, jnp.int32)])
+        payloads = [jnp.concatenate([p, jnp.zeros((pad,), jnp.int32)])
+                    for p in payloads]
+    nb = col_i32.shape[0] // block
+    narr = len(payloads)
+    nout = narr + (1 if with_ids else 0)
+    lohi = jnp.stack([jnp.asarray(lo, jnp.int32),
+                      jnp.asarray(hi, jnp.int32)])
+    blockspec_in = [pl.BlockSpec((w, LANES), lambda i, s: (i, 0))] * (
+        1 + narr)
+    out_specs = [pl.BlockSpec((1, w, LANES), lambda i, s: (i, 0, 0))
+                 ] * nout + [pl.BlockSpec((1, LANES), lambda i, s: (i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((nb, w, LANES), jnp.int32)] * nout + [
+        jax.ShapeDtypeStruct((nb, LANES), jnp.int32)]
+    outs = pl.pallas_call(
+        _make_kernel(w, narr, fills, with_ids, block),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=blockspec_in,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(lohi, col_i32.reshape(-1, LANES),
+      *[p.reshape(-1, LANES) for p in payloads])
+    blocks = outs[:nout]
+    counts = outs[nout][:, 0]
+    return blocks, counts
+
+
+def _assemble(blocks, counts, w: int, cap_rows: int, nb: int,
+              fill_keys, interpret: bool):
+    """Concatenate per-window compacted blocks with row-granular DMAs.
+    Boundary rows may carry pads (block-granular contract).  Returns
+    (arrays, count, overflow)."""
+    rows = -(-counts // LANES)                        # ceil to whole rows
+    doff = jnp.cumsum(rows) - rows
+    ovf = jnp.maximum(doff[-1] + rows[-1] - cap_rows, 0)
+    soff = jnp.arange(nb, dtype=jnp.int32) * w
+    total = jnp.sum(counts, dtype=jnp.int32)
+    outs = []
+    # scatter_segments moves (k, p) pairs; pair the blocks up (odd count
+    # pads with the first block's shape carrying zeros)
+    i = 0
+    flat = [b.reshape(nb * w, LANES) for b in blocks]
+    while i < len(flat):
+        a = flat[i]
+        b = flat[i + 1] if i + 1 < len(flat) else jnp.zeros_like(a)
+        ok, op = scatter_segments(a, b, soff, doff, rows, nb, cap_rows + 1,
+                                  fill_key=int(fill_keys[i]),
+                                  interpret=interpret)
+        outs.append(ok[:cap_rows].reshape(-1))
+        if i + 1 < len(flat):
+            outs.append(op[:cap_rows].reshape(-1))
+        i += 2
+    return outs, total, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "w", "interpret"))
+def scan_index_fast(col, low, high, cap_rows: int, w: int = 512,
+                    interpret: bool = False):
+    """Implicit index scan via the lane compactor.
+
+    Returns (rowids[cap_rows*128], count, overflow); pad slots carry
+    PAD_S_INPUT, only in block-boundary rows."""
+    x = col.astype(jnp.int32)
+    blocks, counts = _compact_windows(
+        x, [], jnp.asarray(low, jnp.int32), jnp.asarray(high, jnp.int32),
+        w, interpret, with_ids=True, fills=(PAD_S_INPUT,))
+    nb = counts.shape[0]
+    outs, total, ovf = _assemble(blocks, counts, w, cap_rows, nb,
+                                 [PAD_S_INPUT], interpret)
+    return outs[0], total, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "w", "interpret"))
+def scan_values_fast(col, low, high, cap_rows: int, w: int = 512,
+                     interpret: bool = False):
+    """Value scan via the lane compactor.
+
+    Returns (rowids, values, count, overflow)."""
+    x = col.astype(jnp.int32)
+    blocks, counts = _compact_windows(
+        x, [x], jnp.asarray(low, jnp.int32), jnp.asarray(high, jnp.int32),
+        w, interpret, with_ids=True, fills=(PAD_S_INPUT, 0))
+    nb = counts.shape[0]
+    outs, total, ovf = _assemble(blocks, counts, w, cap_rows, nb,
+                                 [PAD_S_INPUT, 0], interpret)
+    return outs[0], outs[1], total, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "w", "interpret"))
+def compact_kp_fast(key, payload, cap_rows: int, w: int = 512,
+                    pad_key: int = PAD_S_INPUT, interpret: bool = False):
+    """Drop-in fast variant of compact.compact_kp: compact (key, payload)
+    rows where key < PAD_R_INPUT.  Returns (key, payload, overflow) with
+    the same block-granular pad contract."""
+    # lo excludes int32 min: that's the internal padding sentinel of
+    # _compact_windows (real keys are >= the -3 hole sentinel anyway)
+    blocks, counts = _compact_windows(
+        key, [key, payload], jnp.int32(-(2 ** 31) + 1),
+        jnp.int32(PAD_R_INPUT - 1),
+        w, interpret, with_ids=False, fills=(pad_key, 0))
+    nb = counts.shape[0]
+    outs, total, ovf = _assemble(blocks, counts, w, cap_rows, nb,
+                                 [pad_key, 0], interpret)
+    return outs[0], outs[1], ovf

@@ -46,6 +46,14 @@ def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3):
             )
             rows.append((name, scale, "staged", algorithm, rep,
                          round(t.mrows_per_s, 2), int(res.matches)))
+    # reference throughput convention: (sum of the query's input-table
+    # rows) / total seconds (tpch.cpp:111-114 — numTuples = l + o + c ...)
+    nrows = {
+        "Q3": lrows + o.num_tuples + c.num_tuples,
+        "Q10": lrows + o.num_tuples + c.num_tuples + n.num_tuples,
+        "Q12": lrows + o.num_tuples,
+        "Q19": lrows + p.num_tuples,
+    }
     fused = [
         ("Q3", tpch_q3_fused, (c, o, l)),
         ("Q10", tpch_q10_fused, (c, o, l, n)),
@@ -61,7 +69,7 @@ def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3):
             m, ok = fn(*args)
             matches = int(m)  # device->host fetch = hard sync
             dt = time.perf_counter() - t0
-            mrs = lrows / dt / 1e6  # lineitem rows, the driving table
+            mrs = nrows[name] / dt / 1e6
             print(f"{name} fused sf={scale} rep={rep}: {mrs:.1f} M rows/s "
                   f"matches={matches} ({dt * 1e3:.1f} ms)", flush=True)
             rows.append((name, scale, "fused", "RHO", rep,
