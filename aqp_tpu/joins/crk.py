@@ -202,19 +202,42 @@ def crk_join_cracked(crR: CrackedRelation, crS: CrackedRelation,
     crR = crack_to(crR, depth, pt, per_level=per_level)
     crS = crack_to(crS, depth, pt, per_level=per_level)
     npart = 1 << depth
-    cap_r = _window_cap(crR.bounds)
-    cap_s = _window_cap(crS.bounds)
+    if cfg.profile_phases:
+        # windowed per-partition join: explicit [npart, cap] windows off
+        # the tree spans (phase-attributable, the reference's per-node
+        # build/probe loop shape, Join.hpp:616-706)
+        cap_r = _window_cap(crR.bounds)
+        cap_s = _window_cap(crS.bounds)
+        if cfg.materialize:
+            out = pt.time_fn(
+                "join", _windows_join_materialize,
+                crR.key, crR.payload, crS.key, crS.payload,
+                crR.bounds, crS.bounds, npart, cap_r, cap_s)
+        else:
+            m, c = pt.time_fn(
+                "join", _windows_join_count,
+                crR.key, crR.payload, crS.key, crS.payload,
+                crR.bounds, crS.bounds, npart, cap_r, cap_s)
+            out = mergejoin.JoinCounts(m, c)
+        pt.t.phases["total"] = time.perf_counter() - t0
+        return out, crR, crS
+    # Fused serving path: the per-partition joins batch into ONE ordered
+    # merge.  Crack buckets are KEY PREFIXES (HASH_BIT_MODULO analog), so
+    # partition-major ∘ key order == plain key order — the cracked layout
+    # feeds the merge core directly, no window packing (the round-3
+    # windowed pack paid a 52M searchsorted + scatter per side).
     if cfg.materialize:
         out = pt.time_fn(
-            "join", _windows_join_materialize,
+            "join", mergejoin.merge_join_materialize,
             crR.key, crR.payload, crS.key, crS.payload,
-            crR.bounds, crS.bounds, npart, cap_r, cap_s)
+            result_capacity(Relation(crS.key, crS.payload), cfg))
+    elif cfg.checksum:
+        out = pt.time_fn(
+            "join", mergejoin.merge_join_count,
+            crR.key, crR.payload, crS.key, crS.payload)
     else:
-        m, c = pt.time_fn(
-            "join", _windows_join_count,
-            crR.key, crR.payload, crS.key, crS.payload,
-            crR.bounds, crS.bounds, npart, cap_r, cap_s)
-        out = mergejoin.JoinCounts(m, c)
+        out = pt.time_fn(
+            "join", mergejoin.merge_join_count_keys, crR.key, crS.key)
     pt.t.phases["total"] = time.perf_counter() - t0
     return out, crR, crS
 
