@@ -134,15 +134,33 @@ def _window_compact(m, arrays, fills):
     return outs, total
 
 
-def _make_kernel(w: int, narr: int, fills, with_ids: bool, base_elems: int):
+def _decode256(codes, table_block):
+    """In-kernel 256-entry dictionary decode of a (W, 128) code block.
+    table_block: (2, 128) — entry e at (e >> 7, e & 127).  Two lane
+    gathers + one select (no serialized HBM gathers)."""
+    w = codes.shape[0]
+    idx = codes & (LANES - 1)
+    lo = jnp.take_along_axis(
+        jnp.broadcast_to(table_block[0:1, :], (w, LANES)), idx, axis=1)
+    hi = jnp.take_along_axis(
+        jnp.broadcast_to(table_block[1:2, :], (w, LANES)), idx, axis=1)
+    return jnp.where(codes >= LANES, hi, lo)
+
+
+def _make_kernel(w: int, narr: int, fills, with_ids: bool, base_elems: int,
+                 ndict: int = 0):
     """Grid kernel: col-window mask + payloads -> compacted block + count.
 
     with_ids: prepend the global element index as payload 0 (free: it is
-    the compaction map itself plus the window base)."""
+    the compaction map itself plus the window base).
+    ndict: number of trailing (2, 128) dictionary inputs; each decodes the
+    LAST compacted payload (the code column) into one extra output."""
 
     def kernel(lohi_ref, m_ref, *refs):
         ins = list(refs[:narr])
-        outs = list(refs[narr:narr + narr + (1 if with_ids else 0)])
+        dicts = list(refs[narr:narr + ndict])
+        nout = narr + (1 if with_ids else 0) + ndict
+        outs = list(refs[narr + ndict:narr + ndict + nout])
         cnt_ref = refs[-1]
         x = m_ref[:]
         lo = lohi_ref[0]
@@ -158,6 +176,10 @@ def _make_kernel(w: int, narr: int, fills, with_ids: bool, base_elems: int):
         for r in ins:
             arrays.append(r[:])
         res, total = _window_compact(m, arrays, f)
+        if dicts:
+            code_block = res[len(arrays) - 1]
+            for d in dicts:
+                res.append(_decode256(code_block, d[:]))
         for o_ref, o in zip(outs, res):
             o_ref[0] = o
         cnt_ref[:] = jnp.broadcast_to(total, (1, LANES)).astype(jnp.int32)
@@ -168,9 +190,11 @@ def _make_kernel(w: int, narr: int, fills, with_ids: bool, base_elems: int):
 @functools.partial(jax.jit, static_argnames=("w", "interpret", "with_ids",
                                              "fills"))
 def _compact_windows(col_i32, payloads, lo, hi, w: int, interpret: bool,
-                     with_ids: bool, fills):
+                     with_ids: bool, fills, dict_tables=()):
     """Run the window kernel over the whole column.
 
+    dict_tables: optional (2, 128)-shaped 256-entry dictionaries; each
+    adds one decoded output of the last payload (the code column).
     Returns (list of (nb, w, 128) compacted blocks, counts (nb,))."""
     n = col_i32.shape[0]
     block = w * LANES
@@ -183,17 +207,18 @@ def _compact_windows(col_i32, payloads, lo, hi, w: int, interpret: bool,
                     for p in payloads]
     nb = col_i32.shape[0] // block
     narr = len(payloads)
-    nout = narr + (1 if with_ids else 0)
+    ndict = len(dict_tables)
+    nout = narr + (1 if with_ids else 0) + ndict
     lohi = jnp.stack([jnp.asarray(lo, jnp.int32),
                       jnp.asarray(hi, jnp.int32)])
     blockspec_in = [pl.BlockSpec((w, LANES), lambda i, s: (i, 0))] * (
-        1 + narr)
+        1 + narr) + [pl.BlockSpec((2, LANES), lambda i, s: (0, 0))] * ndict
     out_specs = [pl.BlockSpec((1, w, LANES), lambda i, s: (i, 0, 0))
                  ] * nout + [pl.BlockSpec((1, LANES), lambda i, s: (i, 0))]
     out_shape = [jax.ShapeDtypeStruct((nb, w, LANES), jnp.int32)] * nout + [
         jax.ShapeDtypeStruct((nb, LANES), jnp.int32)]
     outs = pl.pallas_call(
-        _make_kernel(w, narr, fills, with_ids, block),
+        _make_kernel(w, narr, fills, with_ids, block, ndict),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
@@ -203,7 +228,7 @@ def _compact_windows(col_i32, payloads, lo, hi, w: int, interpret: bool,
         out_shape=out_shape,
         interpret=interpret,
     )(lohi, col_i32.reshape(-1, LANES),
-      *[p.reshape(-1, LANES) for p in payloads])
+      *[p.reshape(-1, LANES) for p in payloads], *dict_tables)
     blocks = outs[:nout]
     counts = outs[nout][:, 0]
     return blocks, counts
@@ -268,6 +293,31 @@ def scan_values_fast(col, low, high, cap_rows: int, w: int = 512,
     outs, total, ovf = _assemble(blocks, counts, w, cap_rows, nb,
                                  [PAD_S_INPUT, 0], interpret)
     return outs[0], outs[1], total, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows", "w", "interpret"))
+def scan_dict_fast(col, dict_lo, dict_hi, low, high, cap_rows: int,
+                   w: int = 512, interpret: bool = False):
+    """Dict scan via the lane compactor: qualifying 8-bit codes compacted
+    and decoded IN-KERNEL through a 256-entry dictionary stored as two
+    int32 planes (SIMD512.cpp:320-335's `i64gather` through the dict; the
+    plane split is the established TPU-native 64-bit layout).
+
+    Returns (rowids, lo_plane, hi_plane, count, overflow)."""
+    x = col.astype(jnp.int32)
+    tlo = dict_lo.astype(jnp.int32).reshape(2, LANES)
+    thi = dict_hi.astype(jnp.int32).reshape(2, LANES)
+    blocks, counts = _compact_windows(
+        x, [x], jnp.asarray(low, jnp.int32), jnp.asarray(high, jnp.int32),
+        w, interpret, with_ids=True, fills=(PAD_S_INPUT, 0),
+        dict_tables=(tlo, thi))
+    nb = counts.shape[0]
+    # blocks: ids, codes, dlo, dhi — assemble ids+dlo and dhi (codes are
+    # not part of the output contract)
+    outs, total, ovf = _assemble(
+        [blocks[0], blocks[2], blocks[3]], counts, w, cap_rows, nb,
+        [PAD_S_INPUT, 0, 0], interpret)
+    return outs[0], outs[1], outs[2], total, ovf
 
 
 @functools.partial(jax.jit, static_argnames=("cap_rows", "w", "interpret"))

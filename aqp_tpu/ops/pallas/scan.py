@@ -127,13 +127,12 @@ def scan_index_pallas(col, low, high, cap_rows: int, interpret: bool = False):
     """Implicit index scan: compacted row-ids of qualifying rows.
 
     Returns (rowids[cap_rows*128], count, overflow); empty slots carry
-    PAD_S_INPUT (>= 2^30-1, never a row id)."""
-    from aqp_tpu.ops.pallas.compact import compact_kp
+    PAD_S_INPUT (>= 2^30-1, never a row id).  Rides the lane-compaction
+    kernel (ops/pallas/lanecompact.py — no sort, ~12 vector passes +
+    MXU row scatter) instead of the block-sort compactor."""
+    from aqp_tpu.ops.pallas.lanecompact import scan_index_fast
 
-    key, pay, cnt = _mask_to_kp(col, low, high,
-                                jnp.zeros_like(col, jnp.int32))
-    out_k, _, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)
-    return out_k, cnt, ovf
+    return scan_index_fast(col, low, high, cap_rows, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("cap_rows", "interpret"))
@@ -145,10 +144,10 @@ def scan_values_pallas(col, low, high, cap_rows: int,
     Compaction is block-granular: pad slots (rowid >= 2^30-1) may appear at
     block-boundary rows, so consumers mask by rowid — value filler (0) is
     NOT distinguishable on its own (0 is a legal column value)."""
-    from aqp_tpu.ops.pallas.compact import compact_kp
+    from aqp_tpu.ops.pallas.lanecompact import scan_values_fast
 
-    key, pay, cnt = _mask_to_kp(col, low, high, col.astype(jnp.int32))
-    out_k, out_v, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)
+    out_k, out_v, cnt, ovf = scan_values_fast(col, low, high, cap_rows,
+                                              interpret=interpret)
     return out_k, out_v, cnt, ovf
 
 
@@ -163,16 +162,14 @@ def scan_dict_pallas(col, dict_lo, dict_hi, low, high, cap_rows: int,
 
     Returns (rowids, lo, hi, count, overflow): slots with rowid >= 2^30-1
     are block-boundary filler (count gives the exact total).  The dict
-    gather rides the compacted CODES (256-entry take on ~sel*n rows), so
-    the write volume matches the reference's dict mode: one 64-bit value
-    per qualifying row."""
-    from aqp_tpu.ops.pallas.compact import compact_kp
+    gather rides the compacted CODES decoded IN-KERNEL (two lane gathers
+    through the (2,128)-plane dictionary), so the write volume matches the
+    reference's dict mode: one 64-bit value per qualifying row — and no
+    serialized HBM gather pass."""
+    from aqp_tpu.ops.pallas.lanecompact import scan_dict_fast
 
-    key, pay, cnt = _mask_to_kp(col, low, high, col.astype(jnp.int32))
-    out_k, codes, ovf = compact_kp(key, pay, cap_rows, interpret=interpret)
-    out_lo = jnp.take(dict_lo, codes, mode="clip")
-    out_hi = jnp.take(dict_hi, codes, mode="clip")
-    return out_k, out_lo, out_hi, cnt, ovf
+    return scan_dict_fast(col, dict_lo, dict_hi, low, high, cap_rows,
+                          interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "interpret"))

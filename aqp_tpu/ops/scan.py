@@ -107,3 +107,20 @@ def scan_dict(codes, dictionary, low_code, high_code, capacity: int):
 def scan_dict_full(codes, dictionary):
     """Unconditional dictionary decode (dict_scan without predicate)."""
     return dictionary[codes.astype(jnp.int32)]
+
+
+def scan_count_streamed(host_col, low, high, chunk: int = 1 << 26):
+    """Count scan over a HOST-resident column, double-buffered: chunk i+1's
+    host->device transfer is issued while chunk i scans (JAX async dispatch
+    pipelines the copies against the jitted partial counts — nothing syncs
+    until the final scalar).  The preload=false analog of the reference
+    (SimdScanMulti enclave-ingress runs): the sustained rate is bounded by
+    the host->HBM link, with compute fully hidden under it."""
+    n = host_col.shape[0]
+    total = None
+    for off in range(0, n, chunk):
+        part_host = host_col[off:off + chunk]
+        dev = jax.device_put(part_host)
+        part = scan_count(dev, low, high)
+        total = part if total is None else total + part
+    return total

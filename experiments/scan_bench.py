@@ -152,16 +152,29 @@ def run_config_safe(fns, mode, sel, n, reps):
 
 
 def family_selectivity(small, reps, rows):
-    n = 1 << (20 if small else 26)
-    col = make_col(n)
+    # Column sizes sized ABOVE the ~5 ms dispatch floor of this platform
+    # (a 2^26 column reads in <0.1 ms at HBM speed, so per-call timing
+    # measured the tunnel, not the kernel — round-3 CSVs capped near
+    # 13 GB/s for that reason).  Write modes use smaller columns than the
+    # read-only modes to keep output buffers inside HBM.
+    n_mode = (
+        {m: 1 << 20 for m in MODES} if small else {
+            "count": 1 << 30, "sum": 1 << 30, "bitvector": 1 << 30,
+            "index": 1 << 29, "values": 1 << 28, "dict": 1 << 28,
+        })
     dlo, dhi = dict_planes()
-    cap_rows = n // LANES
     sels = [1.0, 10.0, 25.0, 50.0, 75.0, 100.0]
     for engine in ("pallas", "xla"):
         if engine == "pallas" and jax.devices()[0].platform == "cpu":
             continue  # Pallas TPU kernels don't run on the CPU backend
-        fns = make_fns(col, n, engine, cap_rows, dlo, dhi)
         for mode in MODES:
+            # the XLA engine's write modes are orders slower (no compress
+            # primitive): keep their columns at 2^26 so the family finishes
+            n = n_mode[mode]
+            if engine == "xla" and not small:
+                n = min(n, 1 << 26)
+            col = make_col(n)
+            fns = make_fns(col, n, engine, n // LANES, dlo, dhi)
             for sel in sels:
                 got = run_config_safe(fns, mode, sel, n, reps)
                 if got is None:
@@ -172,11 +185,12 @@ def family_selectivity(small, reps, rows):
                              round(w, 2)))
                 log(f"sel {engine}:{mode} n={n} sel={sel:5.1f}% "
                     f"read {r:7.2f} GB/s write {w:6.2f} GB/s")
+            del col, fns
 
 
 def family_scaleup(small, reps, rows):
     sizes = [1 << 17, 1 << 20] if small else [
-        1 << 17, 1 << 20, 1 << 23, 1 << 26, 1 << 29]
+        1 << 17, 1 << 20, 1 << 23, 1 << 26, 1 << 29, 1 << 30]
     dlo, dhi = dict_planes()
     for n in sizes:
         col = make_col(n)
@@ -185,7 +199,8 @@ def family_scaleup(small, reps, rows):
             if engine == "pallas" and jax.devices()[0].platform == "cpu":
                 continue
             fns = make_fns(col, n, engine, cap_rows, dlo, dhi)
-            for mode in ("count", "values"):  # one compute-, one write-bound
+            modes = ("count", "values") if n < (1 << 30) else ("count",)
+            for mode in modes:  # one compute-, one write-bound
                 got = run_config_safe(fns, mode, 10.0, n, reps)
                 if got is None:
                     continue
@@ -200,7 +215,7 @@ def family_residency(small, reps, rows):
     """preload=true/false analog: device-resident re-scan vs paying the
     host->device copy per scan (the enclave-ingress cost of the reference's
     preload=false runs)."""
-    n = 1 << (20 if small else 26)
+    n = 1 << (20 if small else 28)
     host = np.asarray(make_col(n))
     dlo, dhi = dict_planes()
     cap_rows = n // LANES
@@ -218,21 +233,34 @@ def family_residency(small, reps, rows):
         fn, fetch, wb = fns[mode]
         lo, hi = sel_bounds(10.0)
 
-        def streamed():
+        def streamed_mono():
+            """one monolithic device_put per scan (preload=false, naive)"""
             c = jax.device_put(host)
             f2 = make_fns(c, n, engine, cap_rows, dlo, dhi)[mode][0]
             return f2(lo, hi)
 
-        try:
-            t = time_async(streamed, max(1, reps // 2), fetch)
-        except Exception as e:
-            log(f"ERROR residency streamed {mode}: {str(e)[:90]}")
-            continue
-        r = n / t / 1e9
-        w = (n * 0.1 * wb) / t / 1e9 if wb else 0.0
-        rows.append(("residency", mode, engine, n, 10.0, "streamed",
-                     round(t * 1e3, 3), round(r, 2), round(w, 2)))
-        log(f"residency {mode}: resident vs streamed written")
+        variants = [("streamed", streamed_mono)]
+        if mode == "count":
+            from aqp_tpu.ops.scan import scan_count_streamed
+
+            def streamed_pipe():
+                """chunked double-buffered stream (transfer i+1 rides
+                under scan i via async dispatch)"""
+                return scan_count_streamed(host, lo, hi, chunk=1 << 25)
+
+            variants.append(("streamed_pipelined", streamed_pipe))
+        for vname, vfn in variants:
+            try:
+                t = time_async(vfn, max(1, reps // 2),
+                               fetch if vname == "streamed" else int)
+            except Exception as e:
+                log(f"ERROR residency {vname} {mode}: {str(e)[:90]}")
+                continue
+            r = n / t / 1e9
+            w = (n * 0.1 * wb) / t / 1e9 if wb else 0.0
+            rows.append(("residency", mode, engine, n, 10.0, vname,
+                         round(t * 1e3, 3), round(r, 2), round(w, 2)))
+            log(f"residency {mode} {vname}: {r:.2f} GB/s")
 
 
 def main():
