@@ -235,7 +235,8 @@ def PHT(relR, relS, cfg):
 
 @register("PHT_no")
 def PHT_no(relR, relS, cfg):
-    """No-overflow variant — tighter window, larger table (load 0.25)."""
+    """No-overflow variant — larger table, lower per-bucket load
+    (f1=48 routing geometry on the Pallas path)."""
     return _nopart(relR, relS, cfg.replace(load_factor=cfg.load_factor / 2),
                    window=4, variant="PHT_no")
 

@@ -65,8 +65,11 @@ from aqp_tpu.ops.pallas.rho3 import (
 VARIANT_PARAMS = {
     "PHT": Rho3Params(),
     "NPO_st": Rho3Params(),
-    "PHT_no": Rho3Params(f1=32),
-    "NPO_no": Rho3Params(f1=32),
+    # no-overflow variant: MORE buckets -> lower per-slot load (mean
+    # 131072/48 = 2731 in a 4096 slot = 26 sigma of margin; f1=32 would
+    # put the mean AT capacity and overflow structurally)
+    "PHT_no": Rho3Params(f1=48),
+    "NPO_no": Rho3Params(f1=48),
     "PHT_un": Rho3Params(f2=32, kd_slot_rows=32),
     "PHT_o": Rho3Params(f2=8, kd_slot_rows=128),
 }

