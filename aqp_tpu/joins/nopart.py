@@ -198,11 +198,32 @@ def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int,
                 relR.key, relR.payload, relS.key, relS.payload,
                 result_capacity(relS, cfg))
         else:
-            for salt in RETRY_SALTS:
-                m, c, ovf = pt.time_fn(
+            from aqp_tpu.joins.skewtier import skew_fused_count, skew_hint
+            from aqp_tpu.ops.pallas.nphj import VARIANT_PIPELINES
+
+            def plain(salt):
+                return pt.time_fn(
                     "join", nphj_join_count, relR.key, relR.payload,
                     relS.key, relS.payload, prm=prm, salt=salt,
                     with_checksum=cfg.checksum)
+
+            def skewed(salt):
+                return pt.time_fn(
+                    "join", skew_fused_count, relR.key, relR.payload,
+                    relS.key, relS.payload, salt,
+                    with_checksum=cfg.checksum,
+                    pipeline=VARIANT_PIPELINES[variant])
+
+            tiers = [plain, skewed] + [
+                (lambda s, f=plain: f(s)) for _ in RETRY_SALTS[1:]]
+            salts = [RETRY_SALTS[0], RETRY_SALTS[0]] + list(RETRY_SALTS[1:])
+            # stats-driven tier pick: detected probe-side skew goes
+            # straight to the heavy-split tier (reference PHT's hot-key
+            # cache advantage, data/skew.csv PHT z=1.5 row)
+            if skew_hint(relS.key):
+                tiers = [tiers[1], tiers[0]] + tiers[2:]
+            for fn, salt in zip(tiers, salts):
+                m, c, ovf = fn(salt)
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     from aqp_tpu.relation import JoinResult

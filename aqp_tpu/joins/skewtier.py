@@ -128,11 +128,19 @@ def rho_skew_split_count(rk, rp, sk, sp, salt):
 # 4-5 dispatch round-trips per skewed join — 81 M rows/s at z=1.5).
 
 
-@functools.partial(jax.jit, static_argnames=("with_checksum",))
-def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True):
+@functools.partial(jax.jit, static_argnames=("with_checksum", "pipeline"))
+def skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
+                     pipeline=None):
     """Fully fused heavy-split count join: candidate detection, exact
     closed-form heavy contribution, residual remap, and the fixed-slot
     residual pipeline as ONE jitted program (single dispatch).
+
+    `pipeline(rk, rp, sk, sp, salt, with_checksum) -> (m, c, ovf)` is the
+    residual engine — the RHO pipeline by default; the no-partition
+    family passes its own build/probe pipeline so PHT keeps its identity
+    under skew (the reference's PHT gets FASTER under skew via cache
+    hits; the heavy-split closed form is the TPU analog of that hot-key
+    shortcut).
 
     Keys-only mode (with_checksum=False) skips every payload reduction —
     the heavy statistics reduce to counts and the residual pipeline moves
@@ -181,9 +189,17 @@ def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True):
     pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
     is_heavy = (hk[pos] == sk) & (sk >= 0)
     sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
-    m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt,
-                                  with_checksum=with_checksum)
+    if pipeline is None:
+        m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt,
+                                      with_checksum=with_checksum)
+    else:
+        m, c, ovf = pipeline(rk, rp, sk_res, sp, salt, with_checksum)
     return m + mh, c + ch, ovf
+
+
+def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True):
+    return skew_fused_count(rk, rp, sk, sp, salt,
+                            with_checksum=with_checksum)
 
 
 _HINT_CACHE: dict = {}

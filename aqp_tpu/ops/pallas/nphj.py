@@ -75,6 +75,19 @@ VARIANT_PARAMS = {
 }
 
 
+def _make_pipeline(prm):
+    def pipe(rk, rp, sk, sp, salt, with_checksum):
+        return nphj_join_count(rk, rp, sk, sp, prm=prm, salt=salt,
+                               with_checksum=with_checksum)
+    return pipe
+
+
+# stable per-variant residual-pipeline callables for the skew tier
+# (joins/skewtier.skew_fused_count takes the pipeline as a jit-static arg;
+# module-level identity keeps the jit cache warm across calls)
+VARIANT_PIPELINES = {k: _make_pipeline(v) for k, v in VARIANT_PARAMS.items()}
+
+
 def _merge(k, p, run_rows, use_gather):
     if k.shape[0] % LANES == 0:
         return merge_runs_hybrid(k, p, run_rows, use_gather=use_gather)
