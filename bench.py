@@ -152,17 +152,37 @@ def bench_aggregate(ns, mat, reps):
     asserted so the measured run is exact, never truncated.  Throughput
     counted over the live rows only (conservative)."""
     from aqp_tpu.ops.aggregate import groupby_aggregate
+    from aqp_tpu.ops.pallas.aggpipe import groupby_aggregate_routed
 
     key, spay = mat[2], mat[4]
     cap = 1 << 21
     gkey = jnp.where(key < 0, -3, jnp.bitwise_and(key, (1 << 20) - 1))
 
     def f():
-        return groupby_aggregate(gkey, spay, cap)
+        return groupby_aggregate_routed(gkey, spay, cap)
 
     g = f()
     n_groups = int(g.num_groups)
-    assert n_groups <= cap, f"aggregate truncated: {n_groups} > {cap}"
+    if n_groups > cap:
+        # routed pipeline overflowed (reported, never silent): exact XLA
+        # sort-based aggregate serves instead
+        log("routed aggregate overflowed; falling back to XLA aggregate")
+
+        def f():
+            return groupby_aggregate(gkey, spay, cap)
+
+        g = f()
+        n_groups = int(g.num_groups)
+        assert n_groups <= cap, f"aggregate truncated: {n_groups} > {cap}"
+    else:
+        # cross-check the routed result against the XLA oracle once
+        ref = groupby_aggregate(gkey, spay, cap)
+        # XLA groups the -3 holes as one group; routed drops them
+        assert n_groups == int(ref.num_groups) - 1, (
+            n_groups, int(ref.num_groups))
+        assert int(jnp.sum(g.count, dtype=jnp.int64)) == int(
+            jnp.sum(jnp.where(ref.key == -3, 0, ref.count),
+                    dtype=jnp.int64))
     log(f"aggregate compiled ({n_groups} groups)")
     t = time_async(f, reps)
     return ns / t / 1e6
@@ -235,6 +255,10 @@ def main():
         try:
             agg = bench_aggregate(ns, mat, 2)
             extras["aggregate_mrows"] = round(agg, 1)
+            # workload provenance (ADVICE.md r3): the group key is the join
+            # key's low 20 bits — rounds <= 2 grouped the raw 13.1M-key
+            # domain, so cross-round aggregate numbers are not comparable
+            extras["aggregate_group_cardinality"] = 1 << 20
         except Exception as e:  # pragma: no cover
             extras["aggregate_error"] = str(e)[:120]
         save_extras()
