@@ -33,24 +33,19 @@ from aqp_tpu.utils import ensure_platform_from_env, hard_sync
 ensure_platform_from_env()
 
 
-def overhead():
-    tiny = jnp.zeros((8,), jnp.int32)
-    f = jax.jit(lambda x: jnp.sum(x))
-    hard_sync(f(tiny))
+def timeit(fn, iters=6):
+    """Async-pipelined timing, same methodology as bench.py (ADVICE r3):
+    N calls issued back-to-back, one scalar fetch at the end — dispatch
+    overlaps device execution instead of being subtracted from a
+    separately-measured (and drifting) estimate."""
+    out = fn()
+    hard_sync(out)
+    int(out[0])
     t0 = time.perf_counter()
-    for _ in range(5):
-        hard_sync(f(tiny))
-    return (time.perf_counter() - t0) / 5
-
-
-def timeit(fn, oh, iters=3):
-    hard_sync(fn())
-    best = float("inf")
     for _ in range(iters):
-        t0 = time.perf_counter()
-        hard_sync(fn())
-        best = min(best, time.perf_counter() - t0)
-    return max(best - oh, 1e-9)
+        out = fn()
+    int(out[0])
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -61,12 +56,13 @@ def main():
     args = ap.parse_args()
 
     from aqp_tpu.ops.aggregate import groupby_aggregate
+    from aqp_tpu.ops.pallas.aggpipe import groupby_aggregate_routed
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
 
     n = 1 << (20 if args.small else 26)
     # cardinalities from trivially-small to n/4 distinct groups
     exps = [6, 10, 14, 17, 20, 22, 24] if not args.small else [4, 8, 12]
-    oh = overhead()
-    print(f"n={n} dispatch_overhead={oh*1e3:.1f}ms", flush=True)
+    print(f"n={n}", flush=True)
 
     pay = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, 1 << 30,
                              jnp.int32)
@@ -80,22 +76,34 @@ def main():
         hard_sync((key, pay))
         cap = max(256, 2 * k)
         try:
-            g = groupby_aggregate(key, pay, cap)
+            # engine pick mirrors bench.py: routed Pallas aggregate when it
+            # fits (overflow poisons num_groups), XLA sort-based otherwise
+            cap_routed = cap + 128 * 576  # + per-region boundary rows
+            eng = "xla"
+            if on_tpu:
+                g = groupby_aggregate_routed(key, pay, cap_routed)
+                if int(g.num_groups) <= cap_routed:
+                    eng = "routed"
+            if eng == "routed":
+                fn = lambda: groupby_aggregate_routed(key, pay, cap_routed)
+            else:
+                fn = lambda: groupby_aggregate(key, pay, cap)
+            g = fn()
             ng = int(g.num_groups)
-            assert ng <= cap, (ng, cap)
-            t = timeit(lambda: groupby_aggregate(key, pay, cap), oh,
-                       args.reps)
+            assert ng <= cap_routed, (ng, cap)
+            t = timeit(fn, args.reps)
             mrows = n / t / 1e6
-            print(f"groups=2^{e:<2d} ({ng:>8d} live)  {t*1e3:8.1f} ms  "
-                  f"{mrows:8.1f} M rows/s", flush=True)
-            rows.append((n, k, ng, round(t * 1e3, 2), round(mrows, 1)))
+            print(f"groups=2^{e:<2d} ({ng:>8d} live, {eng:6s})  "
+                  f"{t*1e3:8.1f} ms  {mrows:8.1f} M rows/s", flush=True)
+            rows.append((n, k, ng, eng, round(t * 1e3, 2),
+                         round(mrows, 1)))
         except Exception as err:  # isolate per-config failures (OOM etc.)
             print(f"groups=2^{e}: ERROR {type(err).__name__}: "
                   f"{str(err)[:100]}", flush=True)
 
     if args.csv:
         with open(args.csv, "w") as f:
-            f.write("rows,cardinality,live_groups,ms,mrows_per_s\n")
+            f.write("rows,cardinality,live_groups,engine,ms,mrows_per_s\n")
             for r in rows:
                 f.write(",".join(map(str, r)) + "\n")
         print(f"wrote {len(rows)} rows to {args.csv}")
