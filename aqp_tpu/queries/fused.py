@@ -64,11 +64,14 @@ def _masked(mask, key, payload, pad):
 
 
 def _compact(mask, key, payload, cap_elems: int, pad):
-    """Bounded compaction: Pallas on TPU, XLA sort on CPU.  Returns
-    (key[cap], payload[cap], ok)."""
+    """Bounded compaction: the lane compactor on TPU (no sort — 7 lane
+    stages + MXU row scatter, ops/pallas/lanecompact.py), XLA sort on CPU.
+    Returns (key[cap], payload[cap], ok)."""
     if _use_pallas() and key.shape[0] >= 32768 and cap_elems % 128 == 0:
+        from aqp_tpu.ops.pallas.lanecompact import compact_kp_fast
+
         mk, mp = _masked(mask, key, payload, pad)
-        k, p, ovf = compact_kp(mk, mp, cap_elems // 128, pad_key=pad)
+        k, p, ovf = compact_kp_fast(mk, mp, cap_elems // 128, pad_key=pad)
         return k, p, ovf == 0
     k, p, count = F._compact_kp(mask, key, payload, pad)
     return k[:cap_elems], p[:cap_elems], count <= cap_elems
