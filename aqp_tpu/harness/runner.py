@@ -63,6 +63,12 @@ class ExperimentConfig:
     # capture a jax.profiler trace per measured rep and emit a
     # `device_total_s` row (PerfEvent-counter analog; utils/profiler.py)
     profile_dir: Optional[str] = None
+    # serve the reference-equivalent count configuration: the reference's
+    # count branch accumulates MATCHES ONLY and never reads payloads
+    # (radix_join.cpp:428-447), so baseline-comparable runs disable the
+    # payload checksum; oracle tests keep checksum=True via run_join's
+    # library default.
+    checksum: bool = False
 
     def enumerate(self):
         return itertools.product(
@@ -94,7 +100,7 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
             cache.clear()  # keep at most one workload resident (HBM budget)
             cache[wkey] = _gen_workload(nr, ns, skew, sel, cfg.seed_r, cfg.seed_s)
         relR, relS = cache[wkey]
-        jc = JoinConfig(materialize=mat)
+        jc = JoinConfig(materialize=mat, checksum=cfg.checksum)
         try:
             if cfg.warmup and (alg, wkey, mat) not in warmed:
                 run_join(relR, relS, alg, jc)  # compile run, unrecorded

@@ -31,13 +31,20 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# top-k candidate capacity: covers every key above the slot-overflow mass
-# for Zipf z <= 2 at headline sizes (see _needs math in rho3 capacity docs)
-H = 128
+# top-k candidate capacity: a key can only overflow a fixed slot with
+# ~>= 228k global copies (per-block share C/nb must exceed the ~455-elem
+# slot margin); under Zipf the rank-k mass ~ k^-z, so fewer than ~25 keys
+# can ever cross that bound at z <= 2 — 32 slots cover it with margin,
+# and the per-candidate stats pass scales linearly in H.
+H = 32
 SAMPLE_STRIDE = 64
 # a sampled run must repeat this often to be a candidate (global mass
 # ~ stride * this; far below the slot-overflow threshold => conservative)
 MIN_SAMPLE_RUN = 8
+# the DISPATCH hint uses a much stricter bound: only keys within ~3.5x of
+# the slot-overflow mass justify paying the heavy-split tier up front
+# (mild skew like Zipf z=0.5 sails through the plain pipeline).
+HINT_MIN_RUN = 1024
 
 
 @functools.partial(jax.jit, static_argnames=("h", "stride"))
@@ -226,7 +233,7 @@ def skew_hint(s_key) -> bool:
     hit = _HINT_CACHE.get(key)
     if hit is not None and hit[0] is s_key:
         return hit[1]
-    flag = bool(int(_max_sample_run(s_key)) >= MIN_SAMPLE_RUN)
+    flag = bool(int(_max_sample_run(s_key)) >= HINT_MIN_RUN)
     # strong refs keep the cached relations alive; keep the cache tiny
     if len(_HINT_CACHE) >= 8:
         _HINT_CACHE.clear()
