@@ -141,7 +141,7 @@ def _make_k3agg(prm: Rho3Params, nbg: int, use_gather: bool,
         osm[0, 0] = outs[2]
         omn[0, 0] = outs[3]
         omx[0, 0] = outs[4]
-        ccount[:] = jnp.broadcast_to(total, (1, LANES)).astype(jnp.int32)
+        ccount[0] = jnp.broadcast_to(total, (8, LANES)).astype(jnp.int32)
 
     return kernel
 
@@ -169,7 +169,8 @@ def groupby_aggregate_routed(key, value, capacity: int,
     nreg = prm.f1 * prm.f2
     col = pl.BlockSpec((1, 1, w, LANES), lambda a, b: (a, b, 0, 0))
     col_shape = jax.ShapeDtypeStruct((prm.f1, prm.f2, w, LANES), jnp.int32)
-    cnt_spec = pl.BlockSpec((1, LANES), lambda a, b: (a * prm.f2 + b, 0))
+    cnt_spec = pl.BlockSpec((1, 8, LANES),
+                            lambda a, b: (a * prm.f2 + b, 0, 0))
     outs = pl.pallas_call(
         _make_k3agg(prm, nbg, use_gather, 1),
         grid=(prm.f1, prm.f2),
@@ -178,10 +179,10 @@ def groupby_aggregate_routed(key, value, capacity: int,
             lambda a, b: (a, 0, b, 0, 0))] * 2,
         out_specs=[col] * 5 + [cnt_spec],
         out_shape=[col_shape] * 5 + [
-            jax.ShapeDtypeStruct((nreg, LANES), jnp.int32)],
+            jax.ShapeDtypeStruct((nreg, 8, LANES), jnp.int32)],
         interpret=interpret,
     )(k2, v2)
-    counts = outs[5][:, 0]
+    counts = outs[5][:, 0, 0]
     rows_per = -(-counts // LANES)
     doff = jnp.cumsum(rows_per) - rows_per
     num_groups = jnp.sum(counts, dtype=jnp.int32)

@@ -179,10 +179,12 @@ def _make_kernel(w: int, narr: int, fills, with_ids: bool, base_elems: int,
         if dicts:
             code_block = res[len(arrays) - 1]
             for d in dicts:
-                res.append(_decode256(code_block, d[:]))
+                res.append(_decode256(code_block, d[:2]))
         for o_ref, o in zip(outs, res):
             o_ref[0] = o
-        cnt_ref[:] = jnp.broadcast_to(total, (1, LANES)).astype(jnp.int32)
+        # (1, 8, LANES) block: TPU tiling needs the last two block dims
+        # >= (8, 128) — counts broadcast across the 8 sublanes
+        cnt_ref[0] = jnp.broadcast_to(total, (8, LANES)).astype(jnp.int32)
 
     return kernel
 
@@ -212,11 +214,12 @@ def _compact_windows(col_i32, payloads, lo, hi, w: int, interpret: bool,
     lohi = jnp.stack([jnp.asarray(lo, jnp.int32),
                       jnp.asarray(hi, jnp.int32)])
     blockspec_in = [pl.BlockSpec((w, LANES), lambda i, s: (i, 0))] * (
-        1 + narr) + [pl.BlockSpec((2, LANES), lambda i, s: (0, 0))] * ndict
+        1 + narr) + [pl.BlockSpec((8, LANES), lambda i, s: (0, 0))] * ndict
     out_specs = [pl.BlockSpec((1, w, LANES), lambda i, s: (i, 0, 0))
-                 ] * nout + [pl.BlockSpec((1, LANES), lambda i, s: (i, 0))]
+                 ] * nout + [pl.BlockSpec((1, 8, LANES),
+                                          lambda i, s: (i, 0, 0))]
     out_shape = [jax.ShapeDtypeStruct((nb, w, LANES), jnp.int32)] * nout + [
-        jax.ShapeDtypeStruct((nb, LANES), jnp.int32)]
+        jax.ShapeDtypeStruct((nb, 8, LANES), jnp.int32)]
     outs = pl.pallas_call(
         _make_kernel(w, narr, fills, with_ids, block, ndict),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -228,9 +231,11 @@ def _compact_windows(col_i32, payloads, lo, hi, w: int, interpret: bool,
         out_shape=out_shape,
         interpret=interpret,
     )(lohi, col_i32.reshape(-1, LANES),
-      *[p.reshape(-1, LANES) for p in payloads], *dict_tables)
+      *[p.reshape(-1, LANES) for p in payloads],
+      *[jnp.concatenate([d, jnp.zeros((6, LANES), jnp.int32)])
+        for d in dict_tables])
     blocks = outs[:nout]
-    counts = outs[nout][:, 0]
+    counts = outs[nout][:, 0, 0]
     return blocks, counts
 
 
