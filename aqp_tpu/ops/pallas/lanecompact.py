@@ -325,7 +325,8 @@ def scan_dict_fast(col, dict_lo, dict_hi, low, high, cap_rows: int,
     return outs[0], outs[1], outs[2], total, ovf
 
 
-@functools.partial(jax.jit, static_argnames=("cap_rows", "w", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cap_rows", "w", "pad_key",
+                                             "interpret"))
 def compact_kp_fast(key, payload, cap_rows: int, w: int = 512,
                     pad_key: int = PAD_S_INPUT, interpret: bool = False):
     """Drop-in fast variant of compact.compact_kp: compact (key, payload)
