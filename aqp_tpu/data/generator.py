@@ -83,11 +83,26 @@ def create_relation_fk(
 def create_relation_fk_sel(
     num_tuples: int, r_tuples: int, selectivity: float, seed: int = 22222, dtype=jnp.int32
 ) -> Relation:
-    """FK relation with join selectivity `selectivity` ∈ (0,100]:
-    domain widened to maxid = 100*|R|/sel (App.cpp:150-153)."""
+    """FK relation with join selectivity `selectivity` ∈ (0,100].
+
+    The reference widens the key domain to maxid = 100*|R|/sel
+    (App.cpp:150-153) so each probe key matches with probability sel%.
+    Materializing that domain's permutation at sel=1% would need several
+    HBM-sized buffers (1.3e9 keys at the headline |R|) and would exceed
+    the engines' 2^30 key domain, so the same quantity is generated
+    directly: each key is a MATCHING draw from {1..|R|} with probability
+    sel/100, else a non-matching draw from (|R|, 2^30-8) — identical
+    match semantics, bounded domain, O(n) memory."""
     maxid = int(round(100.0 * r_tuples / selectivity))
-    keys = _fk_keys(_key(seed), num_tuples, maxid, dtype)
-    return Relation.from_keys(keys)
+    if maxid <= 4 * num_tuples and maxid < (1 << 30) - 8:
+        keys = _fk_keys(_key(seed), num_tuples, maxid, dtype)
+        return Relation.from_keys(keys)
+    k1, k2, k3 = jax.random.split(_key(seed), 3)
+    match = jax.random.uniform(k1, (num_tuples,)) < (selectivity / 100.0)
+    hit = jax.random.randint(k2, (num_tuples,), 1, r_tuples + 1, jnp.int32)
+    miss = jax.random.randint(k3, (num_tuples,), r_tuples + 1,
+                              (1 << 30) - 8, jnp.int32)
+    return Relation.from_keys(jnp.where(match, hit, miss).astype(dtype))
 
 
 def _zipf_cdf_lut(alphabet_size: int, zipf_factor: float) -> np.ndarray:

@@ -81,9 +81,13 @@ def main():
             cap_routed = cap + 128 * 576  # + per-region boundary rows
             eng = "xla"
             if on_tpu:
-                g = groupby_aggregate_routed(key, pay, cap_routed)
-                if int(g.num_groups) <= cap_routed:
-                    eng = "routed"
+                try:
+                    g = groupby_aggregate_routed(key, pay, cap_routed)
+                    if int(g.num_groups) <= cap_routed:
+                        eng = "routed"
+                except Exception as err:
+                    print(f"routed aggregate unavailable: "
+                          f"{str(err)[:90]}", flush=True)
             if eng == "routed":
                 fn = lambda: groupby_aggregate_routed(key, pay, cap_routed)
             else:
