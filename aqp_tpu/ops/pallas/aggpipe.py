@@ -141,8 +141,7 @@ def _make_k3agg(prm: Rho3Params, nbg: int, use_gather: bool,
         osm[0, 0] = outs[2]
         omn[0, 0] = outs[3]
         omx[0, 0] = outs[4]
-        t_row = jnp.broadcast_to(total, (1, LANES))
-        ccount[0] = jnp.broadcast_to(t_row, (8, LANES)).astype(jnp.int32)
+        ccount[0] = jnp.full((8, LANES), total, jnp.int32)
 
     return kernel
 

@@ -108,7 +108,9 @@ def _window_compact(m, arrays, fills):
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 1)
     s, crow = _lane_compact_map(m)
     cx, incl = _row_prefix(crow)
-    total = incl[w - 1:w, :]                          # (1,1)
+    # reduce to a SCALAR (proven Mosaic path: scalar -> jnp.full/compare
+    # broadcasts; (1,1) vectors cannot broadcast to 2 axes)
+    total = jnp.sum(incl[w - 1:w, :], dtype=jnp.int32)
     shift = cx & (LANES - 1)
     d1 = cx >> 7                                      # (W, 1) dest row
     rot_idx = (lane - shift) & (LANES - 1)
@@ -121,10 +123,7 @@ def _window_compact(m, arrays, fills):
     partA = (lane >= shift) & (tA < crow)
     partB = (lane < shift) & (tA + LANES < crow)
     opos = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0) * LANES + lane
-    # Mosaic cannot broadcast (1,1)->(W,128) in one op ("broadcast in both
-    # sublanes and lanes"); go through a (1,128) lane-broadcast first
-    total_row = jnp.broadcast_to(total, (1, LANES))
-    live = opos < jnp.broadcast_to(total_row, (w, LANES))
+    live = opos < total
     outs = []
     for x, fill in zip(arrays, fills):
         ck = jnp.take_along_axis(x, s, axis=1)        # lane-compacted
@@ -186,10 +185,8 @@ def _make_kernel(w: int, narr: int, fills, with_ids: bool, base_elems: int,
         for o_ref, o in zip(outs, res):
             o_ref[0] = o
         # (1, 8, LANES) block: TPU tiling needs the last two block dims
-        # >= (8, 128) — counts broadcast across the 8 sublanes (two-step:
-        # lanes first, sublanes second — Mosaic single-axis broadcasts)
-        t_row = jnp.broadcast_to(total, (1, LANES))
-        cnt_ref[0] = jnp.broadcast_to(t_row, (8, LANES)).astype(jnp.int32)
+        # >= (8, 128); scalar fill broadcasts fine
+        cnt_ref[0] = jnp.full((8, LANES), total, jnp.int32)
 
     return kernel
 
