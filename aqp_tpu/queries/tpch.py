@@ -11,6 +11,7 @@ Join algorithm is selectable by name exactly as the reference's `-a` flag.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import NamedTuple
 
@@ -18,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from aqp_tpu.config import JoinConfig
+from aqp_tpu.ops import mergejoin
 from aqp_tpu.joins.api import run_join
 from aqp_tpu.queries import filters as F
 from aqp_tpu.queries import tables as T
@@ -147,13 +149,23 @@ def tpch_q19(l: T.LineItemTable, p: T.PartTable,
     jax.block_until_ready(j.key)
     pt.t.phases["join"] = time.perf_counter() - tj
 
-    @jax.jit
-    def residual(key, r_payload, s_payload):
-        valid = key != -3
-        keep = F.q19_residual_predicate(p, l, r_payload, s_payload, valid)
+    # The region-chunked join output is capacity-sized (~2.5x the real
+    # matches at sf>=10); COMPACT it before the residual's per-row base-
+    # table lookups — otherwise the gathers run at hole-capacity size
+    # (measured 45-60 s/rep at sf=10).
+    res_cap = max(128, -(-lk.shape[0] // 128) * 128)
+
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def residual(key, r_payload, s_payload, cap: int):
+        cm = mergejoin.compact_matches(key != -3, key, r_payload,
+                                       s_payload, capacity=cap)
+        valid = cm.key != -3
+        keep = F.q19_residual_predicate(p, l, cm.r_payload, cm.s_payload,
+                                        valid)
         return jnp.sum(keep, dtype=jnp.int32)
 
-    matches = int(pt.time_fn("filter", residual, j.key, j.r_payload, j.s_payload))
+    matches = int(pt.time_fn("filter", residual, j.key, j.r_payload,
+                             j.s_payload, res_cap))
     pt.t.phases["total"] = time.perf_counter() - t0
     pt.t.rows_in = l.num_tuples + p.num_tuples
     pt.t.matches = matches
