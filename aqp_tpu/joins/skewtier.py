@@ -157,45 +157,59 @@ def skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
     hk = heavy_candidates(sk)
     valid = hk >= 0
 
-    def stats(key, pay, chunk=1 << 22):
-        n = key.shape[0]
-        pad = (-n) % chunk
-        if pad:
-            key = jnp.concatenate([key, jnp.full((pad,), -1, key.dtype)])
-            if with_checksum:
-                pay = jnp.concatenate([pay, jnp.zeros((pad,), pay.dtype)])
-        kc = key.reshape(-1, chunk)
-        pc = pay.reshape(-1, chunk) if with_checksum else kc
+    try:
+        use_pallas_stats = jax.devices()[0].platform != "cpu"
+    except Exception:
+        use_pallas_stats = False
+    if use_pallas_stats:
+        # one streaming pass: stats + heavy remap (see heavy_stats_pallas)
+        cnt, sps, sk_res = heavy_stats_pallas(
+            sk, sp, hk, with_pay=with_checksum, remap=True)
+        rcnt, rph, _ = heavy_stats_pallas(
+            rk, rp, hk, with_pay=with_checksum, remap=False)
+    else:
+        def stats(key, pay, chunk=1 << 22):
+            n = key.shape[0]
+            pad = (-n) % chunk
+            if pad:
+                key = jnp.concatenate(
+                    [key, jnp.full((pad,), -1, key.dtype)])
+                if with_checksum:
+                    pay = jnp.concatenate(
+                        [pay, jnp.zeros((pad,), pay.dtype)])
+            kc = key.reshape(-1, chunk)
+            pc = pay.reshape(-1, chunk) if with_checksum else kc
 
-        def body(carry, kp):
-            c, s = carry
-            k, p = kp
-            eq = k[:, None] == hk[None, :]
-            c = c + jnp.sum(eq.astype(jnp.int32), axis=0)
-            if with_checksum:
-                s = s + jnp.sum(
-                    jnp.where(eq, p[:, None].astype(jnp.uint32), 0),
-                    axis=0, dtype=jnp.uint32)
-            return (c, s), None
+            def body(carry, kp):
+                c, s = carry
+                k, p = kp
+                eq = k[:, None] == hk[None, :]
+                c = c + jnp.sum(eq.astype(jnp.int32), axis=0)
+                if with_checksum:
+                    s = s + jnp.sum(
+                        jnp.where(eq, p[:, None].astype(jnp.uint32), 0),
+                        axis=0, dtype=jnp.uint32)
+                return (c, s), None
 
-        (cnt, psum), _ = jax.lax.scan(
-            body, (jnp.zeros((hk.shape[0],), jnp.int32),
-                   jnp.zeros((hk.shape[0],), jnp.uint32)), (kc, pc))
-        return cnt, psum
+            (cnt, psum), _ = jax.lax.scan(
+                body, (jnp.zeros((hk.shape[0],), jnp.int32),
+                       jnp.zeros((hk.shape[0],), jnp.uint32)), (kc, pc))
+            return cnt, psum
 
-    cnt, sps = stats(sk, sp)
-    rcnt, rph = stats(rk, rp)
+        cnt, sps = stats(sk, sp)
+        rcnt, rph = stats(rk, rp)
+        pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
+        is_heavy = (hk[pos] == sk) & (sk >= 0)
+        sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
     use = valid & (rcnt > 0)
     mh = jnp.sum(jnp.where(use, cnt, 0), dtype=jnp.int32)
     if with_checksum:
         ch = jnp.sum(
-            jnp.where(use, cnt.astype(jnp.uint32) * rph + sps, jnp.uint32(0)),
+            jnp.where(use, cnt.astype(jnp.uint32) * rph + sps,
+                      jnp.uint32(0)),
             dtype=jnp.uint32)
     else:
         ch = jnp.uint32(0)
-    pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
-    is_heavy = (hk[pos] == sk) & (sk >= 0)
-    sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
     if pipeline is None:
         m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt,
                                       with_checksum=with_checksum)
@@ -207,6 +221,113 @@ def skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
 def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True):
     return skew_fused_count(rk, rp, sk, sp, salt,
                             with_checksum=with_checksum)
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-stats kernel: ONE pass over a relation computing, per
+# candidate key, the exact (count, payload sum) AND the heavy-remapped key
+# column (heavy rows -> the pipeline's input pad).  The XLA broadcast-scan
+# formulation of the same statistics measured ~0.9 s at headline scale
+# (bad fusion of the (chunk, H) compare tile); this kernel is one
+# bandwidth-bound sweep + H scalar-broadcast compares per block.
+
+
+def _make_heavy_kernel(h: int, with_pay: bool, remap: bool, sub: int):
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+
+    def kernel(hk_ref, *refs):
+        if with_pay:
+            k_ref, p_ref = refs[:2]
+            rest = refs[2:]
+        else:
+            k_ref = refs[0]
+            rest = refs[1:]
+        if remap:
+            ok_ref, cnt_ref = rest[:2]
+            ps_ref = rest[2] if with_pay else None
+        else:
+            cnt_ref = rest[0]
+            ps_ref = rest[1] if with_pay else None
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            cnt_ref[0, :] = jnp.zeros((h,), jnp.int32)
+            if ps_ref is not None:
+                ps_ref[0, :] = jnp.zeros((h,), jnp.int32)
+
+        k = k_ref[:]
+        p = p_ref[:] if with_pay else None
+        heavy = jnp.zeros(k.shape, jnp.bool_)
+        for c in range(h):
+            hv = hk_ref[c]
+            eq = (k == hv) & (hv >= 0)
+            heavy = heavy | eq
+            cnt_ref[0, c] += jnp.sum(eq, dtype=jnp.int32)
+            if ps_ref is not None:
+                ps_ref[0, c] += jnp.sum(jnp.where(eq, p, 0),
+                                        dtype=jnp.int32)
+        if remap:
+            ok_ref[:] = jnp.where(heavy, jnp.int32(PAD_S_INPUT), k)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("with_pay", "remap",
+                                             "interpret"))
+def heavy_stats_pallas(key, pay, hk, with_pay: bool = True,
+                       remap: bool = True, interpret: bool = False):
+    """Per-candidate (count, payload-sum) + heavy-remapped keys in one
+    streaming pass.  Returns (counts[h], psums[h] uint32, remapped|None)."""
+    import jax.experimental.pallas as pl_mod  # noqa: F401
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = hk.shape[0]
+    sub = 1024
+    lanes = 128
+    n = key.shape[0]
+    block = sub * lanes
+    padn = (-n) % block
+    if padn:
+        key = jnp.concatenate([key, jnp.full((padn,), -7, jnp.int32)])
+        if with_pay:
+            pay = jnp.concatenate([pay, jnp.zeros((padn,), jnp.int32)])
+    nb = key.shape[0] // block
+    ins = [key.reshape(-1, lanes)]
+    if with_pay:
+        ins.append(pay.reshape(-1, lanes))
+    narr = len(ins)
+    out_specs = []
+    out_shape = []
+    if remap:
+        out_specs.append(pl.BlockSpec((sub, lanes), lambda i, s: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((nb * sub, lanes), jnp.int32))
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    out_shape.append(jax.ShapeDtypeStruct((1, h), jnp.int32))
+    if with_pay:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, h), jnp.int32))
+    outs = pl.pallas_call(
+        _make_heavy_kernel(h, with_pay, remap, sub),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((sub, lanes), lambda i, s: (i, 0))
+                      ] * narr,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(hk, *ins)
+    i = 0
+    remapped = None
+    if remap:
+        remapped = outs[0].reshape(-1)[:n]
+        i = 1
+    counts = outs[i][0]
+    psums = (outs[i + 1][0].astype(jnp.uint32) if with_pay
+             else jnp.zeros((h,), jnp.uint32))
+    return counts, psums, remapped
 
 
 _HINT_CACHE: dict = {}

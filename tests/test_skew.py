@@ -121,3 +121,30 @@ def test_skewtier_materialize_multiset():
                  + live_rows(res.key, res.r_payload, res.s_payload))
     want = sorted(live_rows(ref.key, ref.r_payload, ref.s_payload))
     assert got == want
+
+
+def test_heavy_stats_pallas_interpret():
+    """Streaming heavy-stats kernel vs numpy: exact per-candidate counts,
+    payload sums mod 2^32, and the heavy-remap output."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aqp_tpu.joins.skewtier import heavy_stats_pallas
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+
+    rng = np.random.default_rng(0)
+    n = 1 << 15
+    key = rng.integers(0, 50, n).astype(np.int32)
+    pay = rng.integers(0, 1 << 20, n).astype(np.int32)
+    hk = np.sort(np.array([3, 7, 11, -1] + [-1] * 28)).astype(np.int32)
+    cnt, ps, remapped = heavy_stats_pallas(
+        jnp.asarray(key), jnp.asarray(pay), jnp.asarray(hk),
+        with_pay=True, remap=True, interpret=True)
+    for i, hv in enumerate(hk):
+        if hv < 0:
+            assert int(cnt[i]) == 0
+            continue
+        m = key == hv
+        assert int(cnt[i]) == int(m.sum()), hv
+        assert int(ps[i]) == int(np.uint32(pay[m].astype(np.uint32).sum()))
+    want = np.where(np.isin(key, hk[hk >= 0]), PAD_S_INPUT, key)
+    np.testing.assert_array_equal(np.asarray(remapped), want)
