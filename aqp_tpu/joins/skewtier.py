@@ -30,6 +30,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # top-k candidate capacity: a key can only overflow a fixed slot with
 # ~>= 228k global copies (per-block share C/nb must exceed the ~455-elem
@@ -278,10 +280,6 @@ def heavy_stats_pallas(key, pay, hk, with_pay: bool = True,
                        remap: bool = True, interpret: bool = False):
     """Per-candidate (count, payload-sum) + heavy-remapped keys in one
     streaming pass.  Returns (counts[h], psums[h] uint32, remapped|None)."""
-    import jax.experimental.pallas as pl_mod  # noqa: F401
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     h = hk.shape[0]
     sub = 1024
     lanes = 128
