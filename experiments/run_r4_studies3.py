@@ -87,11 +87,17 @@ def bench_warm():
     bench.main()
 
 
+def skew():
+    from experiments.skew import main
+
+    main()
+
+
 if __name__ == "__main__":
     only = set(sys.argv[1:])
-    studies = [("smoke", smoke), ("tpch_sf10", tpch10),
-               ("aggregate", aggregates), ("scans", scans),
-               ("bench_warm", bench_warm), ("cracking", cracking)]
+    studies = [("smoke", smoke), ("skew", skew), ("tpch_sf10", tpch10),
+               ("aggregate", aggregates), ("bench_warm", bench_warm),
+               ("scans", scans), ("cracking", cracking)]
     for name, fn in studies:
         if only and name not in only:
             continue
