@@ -253,9 +253,11 @@ def _make_heavy_kernel(h: int, with_pay: bool, remap: bool, sub: int):
 
         @pl.when(pl.program_id(0) == 0)
         def _():
-            cnt_ref[0, :] = jnp.zeros((h,), jnp.int32)
-            if ps_ref is not None:
-                ps_ref[0, :] = jnp.zeros((h,), jnp.int32)
+            # SMEM takes scalar stores only
+            for c in range(h):
+                cnt_ref[0, c] = jnp.int32(0)
+                if ps_ref is not None:
+                    ps_ref[0, c] = jnp.int32(0)
 
         k = k_ref[:]
         p = p_ref[:] if with_pay else None
