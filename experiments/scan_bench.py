@@ -199,7 +199,7 @@ def family_scaleup(small, reps, rows):
             if engine == "pallas" and jax.devices()[0].platform == "cpu":
                 continue
             fns = make_fns(col, n, engine, cap_rows, dlo, dhi)
-            modes = ("count", "values") if n < (1 << 30) else ("count",)
+            modes = ("count", "values") if n < (1 << 29) else ("count",)
             for mode in modes:  # one compute-, one write-bound
                 got = run_config_safe(fns, mode, 10.0, n, reps)
                 if got is None:
