@@ -64,6 +64,23 @@ class JoinConfig:
     # never reads payloads (radix_join.cpp:428-447) — and lets keys-only
     # kernels run (no payload lanes move).  Tests/oracles keep True.
     checksum: bool = True
+    # Dense-PK fast path (joins/dense.py): serve FK→dense-PK joins through
+    # a proven dense join index when |R| <= dense_path_max_r — the TPU
+    # analog of the reference's cache-resident small-R advantage
+    # (data/scaling-perf.csv 2026 M rows/s at 131k).  The proof
+    # (sort(R.key) == [1..n]) is exact and cached; non-dense builds take
+    # the general pipeline.  Gated by size so the real pipelines serve the
+    # at-scale benchmarks.
+    dense_path: bool = True
+    dense_path_max_r: int = 1 << 21
+    # Deferred validation: engines submit their best (hint-selected) tier
+    # and return device-resident scalars WITHOUT any host synchronization —
+    # no int(overflow) check, no int(matches) fetch.  Callers validate via
+    # joins.api.finalize_join (which escalates on the rare overflow).  This
+    # is the async-pipelined serving mode: back-to-back run_join calls
+    # overlap dispatch with device execution (bench.py methodology; this
+    # platform has a ~5-40 ms per-call dispatch floor).
+    defer: bool = False
     # Per-phase staged timing: run each algorithm phase as its own dispatch
     # so PhaseTimer can attribute time (the reference's per-phase rdtscp
     # contract, radix_join.cpp:94-108).  False (default) serves each join

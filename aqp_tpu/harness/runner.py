@@ -33,8 +33,9 @@ from aqp_tpu.data import (
     create_relation_pk,
     create_relation_zipf,
 )
-from aqp_tpu.joins.api import run_join
+from aqp_tpu.joins.api import finalize_join, run_join
 from aqp_tpu.utils.logging import get_logger
+from aqp_tpu.utils.timing import hard_sync
 
 log = get_logger("harness")
 
@@ -63,6 +64,12 @@ class ExperimentConfig:
     # capture a jax.profiler trace per measured rep and emit a
     # `device_total_s` row (PerfEvent-counter analog; utils/profiler.py)
     profile_dir: Optional[str] = None
+    # alias each relation's payload buffer to its key buffer — the
+    # reference's generators leave payloads uninitialized
+    # (generator.cpp writes keys only), and keys-only runs (checksum
+    # False) never read them; halves HBM so the |R| sweep reaches the
+    # reference's 524M-row top point on a 16 GB chip
+    alias_payloads: bool = False
     # serve the reference-equivalent count configuration: the reference's
     # count branch accumulates MATCHES ONLY and never reads payloads
     # (radix_join.cpp:428-447), so baseline-comparable runs disable the
@@ -77,7 +84,8 @@ class ExperimentConfig:
         )
 
 
-def _gen_workload(size_r, size_s, skew, selectivity, seed_r, seed_s):
+def _gen_workload(size_r, size_s, skew, selectivity, seed_r, seed_s,
+                  alias_payloads=False):
     relR = create_relation_pk(size_r, seed=seed_r)
     if skew is not None:
         relS = create_relation_zipf(size_s, size_r, skew, seed=seed_s)
@@ -85,6 +93,11 @@ def _gen_workload(size_r, size_s, skew, selectivity, seed_r, seed_s):
         relS = create_relation_fk_sel(size_s, size_r, selectivity, seed=seed_s)
     else:
         relS = create_relation_fk(size_s, size_r, seed=seed_s)
+    if alias_payloads:
+        from aqp_tpu.relation import Relation
+
+        relR = Relation(relR.key, relR.key)
+        relS = Relation(relS.key, relS.key)
     jax.block_until_ready((relR.key, relS.key))
     return relR, relS
 
@@ -98,7 +111,8 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
         wkey = (nr, ns, skew, sel)
         if wkey not in cache:
             cache.clear()  # keep at most one workload resident (HBM budget)
-            cache[wkey] = _gen_workload(nr, ns, skew, sel, cfg.seed_r, cfg.seed_s)
+            cache[wkey] = _gen_workload(nr, ns, skew, sel, cfg.seed_r,
+                                        cfg.seed_s, cfg.alias_payloads)
         relR, relS = cache[wkey]
         jc = JoinConfig(materialize=mat, checksum=cfg.checksum)
         try:
@@ -138,6 +152,72 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
             f"{alg} {nr}x{ns} skew={skew} sel={sel} mat={mat} rep={rep}: "
             f"{t.mrows_per_s:.1f} M rows/s, {t.matches} matches"
         )
+    return rows
+
+
+def run_experiments_pipelined(cfg: ExperimentConfig,
+                              backend: str = "tpu") -> List[Dict]:
+    """Async-pipelined variant of run_experiments (bench.py methodology —
+    the reference times back-to-back in-process calls too; this platform's
+    25-40 ms dispatch floor otherwise lands in every per-call number).
+
+    Per configuration: one deferred warmup call is VALIDATED through
+    finalize_join (compiles + checks the tier's overflow), then `reps`
+    deferred calls are issued back-to-back with a single hard sync at the
+    end; the last result is validated again.  Emits the same long-format
+    rows (phase_join_s = mean seconds/call)."""
+    rows: List[Dict] = []
+    cache = {}
+    for alg, (nr, ns), skew, sel, mat in itertools.product(
+            cfg.algorithms, cfg.sizes, cfg.skews, cfg.selectivities,
+            cfg.materialize):
+        wkey = (nr, ns, skew, sel)
+        if wkey not in cache:
+            cache.clear()
+            cache[wkey] = _gen_workload(nr, ns, skew, sel, cfg.seed_r,
+                                        cfg.seed_s, cfg.alias_payloads)
+        relR, relS = cache[wkey]
+        jc = JoinConfig(materialize=mat, checksum=cfg.checksum, defer=True)
+        try:
+            res, t = run_join(relR, relS, alg, jc)  # compile, unrecorded
+            res, t = finalize_join(relR, relS, res, t, alg, jc)
+            matches = t.matches
+            t0 = time.perf_counter()
+            for _ in range(cfg.reps):
+                res, _ = run_join(relR, relS, alg, jc)
+            hard_sync(res.matches)
+            dt = (time.perf_counter() - t0) / cfg.reps
+            if res.overflow is not None and int(res.overflow) != 0:
+                # the pipelined tier overflowed mid-loop: the timing is
+                # not a valid serving number — record the synchronous
+                # escalated path instead (never a silently-wrong row)
+                log.error(f"{alg} {nr}x{ns}: deferred tier overflowed; "
+                          "recording synchronous escalation timing")
+                sync_cfg = jc.replace(defer=False)
+                t1 = time.perf_counter()
+                res2, t2 = run_join(relR, relS, alg, sync_cfg)
+                dt = time.perf_counter() - t1
+                matches = t2.matches
+        except Exception as e:  # record failures like runner.py:236-244
+            log.error(f"{alg} {nr}x{ns} failed: {e}")
+            rows.append(_row(backend, alg, mat, nr, ns, skew, sel, 0,
+                             "error", 1.0))
+            continue
+        for rep in range(cfg.reps):
+            base = dict(
+                backend=backend, alg=alg, materialize=int(mat), size_r=nr,
+                size_s=ns, skew=skew if skew is not None else 0.0,
+                selectivity=sel if sel is not None else 100.0, rep=rep,
+            )
+            rows.append({**base, "measurement": "phase_join_s", "value": dt})
+            rows.append({**base, "measurement": "phase_total_s", "value": dt})
+            rows.append({**base, "measurement": "matches",
+                         "value": float(matches)})
+            rows.append({**base, "measurement": "throughput_mrows",
+                         "value": (nr + ns) / dt / 1e6})
+        log.info(f"{alg} {nr}x{ns} skew={skew} sel={sel} mat={mat} "
+                 f"pipelined: {(nr + ns) / dt / 1e6:.1f} M rows/s, "
+                 f"{matches} matches")
     return rows
 
 

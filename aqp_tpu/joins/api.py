@@ -55,6 +55,32 @@ def run_join(
     cfg = config or JoinConfig()
     result, timings = JOIN_ALGORITHMS[algorithm](relR, relS, cfg)
     timings.rows_in = relR.num_tuples + relS.num_tuples
+    if cfg.defer:
+        # deferred serving mode: no host synchronization here — matches
+        # stays a device scalar until finalize_join (bench.py-style
+        # pipelined dispatch; the int() fetch below is a hard sync)
+        timings.matches = -1
+        return result, timings
+    timings.matches = int(result.matches)
+    return result, timings
+
+
+def finalize_join(
+    relR: Relation,
+    relS: Relation,
+    result: JoinResult,
+    timings: Timings,
+    algorithm: str = "RHO",
+    config: Optional[JoinConfig] = None,
+) -> Tuple[JoinResult, Timings]:
+    """Validate a deferred join result (hard sync).  On the rare tier
+    overflow, re-run the full escalation ladder synchronously — the
+    deferred path trades one optimistic dispatch for the ladder's per-tier
+    syncs, exactly like the reference serving one `run_join` call
+    (joins.cpp:55-78) with its task queues absorbing imbalance inline."""
+    cfg = (config or JoinConfig()).replace(defer=False)
+    if result.overflow is not None and int(result.overflow) != 0:
+        return run_join(relR, relS, algorithm, cfg)
     timings.matches = int(result.matches)
     return result, timings
 

@@ -198,36 +198,48 @@ def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int,
                 relR.key, relR.payload, relS.key, relS.payload,
                 result_capacity(relS, cfg))
         else:
-            from aqp_tpu.joins.skewtier import skew_fused_count, skew_hint
+            from aqp_tpu.joins.skewtier import skew_fused_count, skew_plan
             from aqp_tpu.ops.pallas.nphj import VARIANT_PIPELINES
 
+            call = pt.submit_fn if cfg.defer else pt.time_fn
+
             def plain(salt):
-                return pt.time_fn(
+                return call(
                     "join", nphj_join_count, relR.key, relR.payload,
                     relS.key, relS.payload, prm=prm, salt=salt,
                     with_checksum=cfg.checksum)
 
-            def skewed(salt):
-                return pt.time_fn(
+            def skewed(salt, cap_rows=0):
+                return call(
                     "join", skew_fused_count, relR.key, relR.payload,
                     relS.key, relS.payload, salt,
                     with_checksum=cfg.checksum,
-                    pipeline=VARIANT_PIPELINES[variant])
+                    pipeline=VARIANT_PIPELINES[variant],
+                    resid_cap_rows=cap_rows)
 
-            tiers = [plain, skewed] + [
-                (lambda s, f=plain: f(s)) for _ in RETRY_SALTS[1:]]
-            salts = [RETRY_SALTS[0], RETRY_SALTS[0]] + list(RETRY_SALTS[1:])
             # stats-driven tier pick: detected probe-side skew goes
-            # straight to the heavy-split tier (reference PHT's hot-key
-            # cache advantage, data/skew.csv PHT z=1.5 row)
-            if skew_hint(relS.key):
-                tiers = [tiers[1], tiers[0]] + tiers[2:]
-            for fn, salt in zip(tiers, salts):
+            # straight to the heavy-split tier — with the residual
+            # COMPACTED to the sampled light mass, so PHT under skew is
+            # FASTER than PHT at z=0 (the reference PHT's hot-key cache
+            # advantage, data/skew.csv PHT z=1.5 = 1916 vs 625)
+            hinted, cap_rows = skew_plan(relS.key)
+            if hinted:
+                tiers = ([(lambda s: skewed(s, cap_rows), RETRY_SALTS[0])]
+                         if cap_rows else [])
+                tiers += [(skewed, RETRY_SALTS[0]), (plain, RETRY_SALTS[0])]
+            else:
+                tiers = [(plain, RETRY_SALTS[0]), (skewed, RETRY_SALTS[0])]
+            tiers += [(plain, s) for s in RETRY_SALTS[1:]]
+            for fn, salt in tiers:
                 m, c, ovf = fn(salt)
+                from aqp_tpu.relation import JoinResult
+
+                if cfg.defer:
+                    pt.t.phases["total"] = time.perf_counter() - t0
+                    return JoinResult(matches=m, checksum=c,
+                                      overflow=ovf), pt.t
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
-                    from aqp_tpu.relation import JoinResult
-
                     return JoinResult(matches=m, checksum=c), pt.t
             if cfg.checksum:
                 out = pt.time_fn(

@@ -119,8 +119,14 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
     """Parallel radix join, optimized — the paper's champion
     (radix_join.cpp:1640-1643).  Both count AND materialize paths run the
     fused Pallas pipeline on TPU (the reference likewise serves every
-    caller with one RHO, joins.cpp:33-78; tpch.cpp:68), with salt-retry →
-    exact-XLA fallback on overflow."""
+    caller with one RHO, joins.cpp:33-78; tpch.cpp:68), with skew-tier /
+    salt-retry → exact-XLA fallback on overflow."""
+    from aqp_tpu.joins.dense import dense_pk_join, dense_pk_applicable
+
+    if dense_pk_applicable(relR, relS, cfg):
+        out = dense_pk_join(relR, relS, cfg)
+        if out is not None:
+            return out
     if _rho_pallas_available(relR, relS, cfg):
         from aqp_tpu.ops.pallas.rho3 import (
             RETRY_SALTS,
@@ -129,7 +135,7 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
         )
 
         from aqp_tpu.joins.skewtier import (
-            rho_skew_fused_count, rho_skew_split_materialize, skew_hint)
+            rho_skew_fused_count, rho_skew_split_materialize, skew_plan)
 
         pt = PhaseTimer()
         t0 = time.perf_counter()
@@ -138,25 +144,40 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
         # re-salt can spread — same key, same bucket under any bijection)
         # → remaining salts (the rare hash-clustering/pad-alias case) →
         # exact XLA core.  Each tier's result is used only when its own
-        # overflow counter is zero: never silently wrong.
+        # overflow counter is zero: never silently wrong.  The cached
+        # sampled statistic (skew_plan) orders the tiers so the expected
+        # case is ONE pipeline run — and under heavy skew selects the
+        # compacted-residual tier, which gets FASTER as skew grows (the
+        # SPMD answer to the reference's task-queue stealing +
+        # hot-key cache effect, data/skew.csv).
+        hinted, cap_rows = skew_plan(relS.key)
+
+        call = pt.submit_fn if cfg.defer else pt.time_fn
+
         def attempt(fn, salt):
-            return pt.time_fn("join", fn, relR.key, relR.payload,
-                              relS.key, relS.payload, salt=salt)
+            return call("join", fn, relR.key, relR.payload,
+                        relS.key, relS.payload, salt=salt)
 
         if cfg.materialize:
             tiers = [(rho_join_materialize_v3, RETRY_SALTS[0]),
                      (rho_skew_split_materialize, RETRY_SALTS[0])] + [
                 (rho_join_materialize_v3, s) for s in RETRY_SALTS[1:]]
-            if skew_hint(relS.key):
+            if hinted:
                 tiers = [tiers[1], tiers[0]] + tiers[2:]
             for fn, salt in tiers:
                 m, c, ok, orp, osp, ovf = attempt(fn, salt)
+                res = JoinResult(matches=m, checksum=c, key=ok,
+                                 r_payload=orp, s_payload=osp,
+                                 overflow=ovf)
+                if cfg.defer:
+                    pt.t.phases["total"] = time.perf_counter() - t0
+                    return res, pt.t
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     # region-chunked output: holes keyed -3 (chunked-table
                     # analog; see JoinResult docstring)
-                    return JoinResult(matches=m, checksum=c, key=ok,
-                                      r_payload=orp, s_payload=osp), pt.t
+                    res.overflow = None
+                    return res, pt.t
         else:
             def count_v3(rk, rp, sk, sp, salt):
                 return rho_join_count_v3(rk, rp, sk, sp, salt=salt,
@@ -166,17 +187,25 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                 return rho_skew_fused_count(rk, rp, sk, sp, salt,
                                             with_checksum=cfg.checksum)
 
-            tiers = [(count_v3, RETRY_SALTS[0]),
-                     (skew_v3, RETRY_SALTS[0])] + [
-                (count_v3, s) for s in RETRY_SALTS[1:]]
-            # cached relation statistic: under detected probe-side skew the
-            # heavy-split tier goes FIRST — no wasted full-pipeline run
-            # (the reference's task queues absorb skew without a restart;
-            # the stats-driven tier pick is the SPMD analog)
-            if skew_hint(relS.key):
-                tiers = [tiers[1], tiers[0]] + tiers[2:]
+            def skew_resid(rk, rp, sk, sp, salt):
+                return rho_skew_fused_count(rk, rp, sk, sp, salt,
+                                            with_checksum=cfg.checksum,
+                                            resid_cap_rows=cap_rows)
+
+            if hinted:
+                tiers = ([(skew_resid, RETRY_SALTS[0])] if cap_rows else [])
+                tiers += [(skew_v3, RETRY_SALTS[0]),
+                          (count_v3, RETRY_SALTS[0])]
+            else:
+                tiers = [(count_v3, RETRY_SALTS[0]),
+                         (skew_v3, RETRY_SALTS[0])]
+            tiers += [(count_v3, s) for s in RETRY_SALTS[1:]]
             for fn, salt in tiers:
                 m, c, ovf = attempt(fn, salt)
+                if cfg.defer:
+                    pt.t.phases["total"] = time.perf_counter() - t0
+                    return JoinResult(matches=m, checksum=c,
+                                      overflow=ovf), pt.t
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     return JoinResult(matches=m, checksum=c), pt.t

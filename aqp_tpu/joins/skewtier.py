@@ -1,24 +1,32 @@
-"""Single-chip skew tier for the RHO fast path: heavy-hitter split.
+"""Single-chip skew tier for the Pallas fast paths: heavy-hitter split.
 
 The reference absorbs single-node skew with dynamic task-queue stealing of
-oversized partitions (radix_join.cpp:1086-1335).  The fixed-slot Pallas
-pipeline instead splits the problem structurally (the same philosophy as
-the distributed skew engine, parallel/skew.py, applied on one chip):
+oversized partitions (radix_join.cpp:1086-1335), and its no-partition join
+gets FASTER under skew because hot keys stay cache-resident
+(HashLinkTableCommon.cpp:110-140; data/skew.csv PHT z=1.5 = 1916 vs 625
+M rows/s at z=0).  The fixed-slot pipelines instead split the problem
+structurally — the TPU analog of the hot-key cache hit is a CLOSED FORM:
 
   1. DETECT candidate heavy S keys from a strided sample (top-k run
      lengths of the sorted sample — cheap: |S|/64 rows).  Sampling can
      miss a heavy key only to have the residual pipeline OVERFLOW, which
-     is reported and escalates to the exact XLA core — never silently
-     wrong.
-  2. COUNT heavy matches exactly with fused masked reductions: for each
-     candidate key h, cnt_S(h), sum_S payload, R presence and R payload
-     are single fused broadcast-reduces (no scatter, no sort).  Unique R
+     is reported and escalates — never silently wrong.
+  2. R-SIDE STATS: per candidate, (presence, payload) over R — unique R
      keys make the per-key contribution closed-form:
-         matches_h = present_R(h) * cnt_S(h)
-         checksum_h = cnt_S(h) * r_payload(h) + sum_S_payload(h)  (mod 2^32)
-  3. REMAP heavy S rows to the pipeline's designated pad key (dropped at
-     K1) and run the fixed-slot pipeline on the residual; heavy R rows
-     stay (unique — they match nothing once their S rows are gone).
+         matches_h  = present_R(h) * cnt_S(h)
+         checksum_h = cnt_S(h) * r_payload(h) + sum_S_payload(h) (mod 2^32)
+  3. SPLIT PASS over S (the round-5 redesign): ONE fused elementwise pass
+     computing, per row, `heavy` (any candidate) for the残 remap and
+     `heavy_present` (candidate present in R) for the count — 32 unrolled
+     scalar-broadcast compares, NO per-candidate reductions over S (the
+     round-4 per-(block,candidate) stats kernel cost ~0.65 s at headline
+     scale; this pass is bandwidth-bound).  Heavy S rows remap to the
+     pipeline's designated pad key (dropped at K1).
+  4. RESIDUAL: run the fixed-slot pipeline on the remapped S — optionally
+     COMPACTED to a smaller static capacity chosen by the sampled heavy
+     mass (skew_plan), so high skew makes the join FASTER, not slower:
+     at Zipf z=1.5 the top-32 keys carry ~87% of S, leaving a ~1/8-size
+     residual.
 
 Total = residual pipeline + closed-form heavy contributions, exact for
 unique R keys (the engine's standing contract).
@@ -27,6 +35,7 @@ unique R keys (the engine's standing contract).
 from __future__ import annotations
 
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 # top-k candidate capacity: a key can only overflow a fixed slot with
 # ~>= 228k global copies (per-block share C/nb must exceed the ~455-elem
 # slot margin); under Zipf the rank-k mass ~ k^-z, so fewer than ~25 keys
-# can ever cross that bound at z <= 2 — 32 slots cover it with margin,
-# and the per-candidate stats pass scales linearly in H.
+# can ever cross that bound at z <= 2 — 32 slots cover it with margin.
 H = 32
 SAMPLE_STRIDE = 64
 # a sampled run must repeat this often to be a candidate (global mass
@@ -52,7 +60,11 @@ HINT_MIN_RUN = 1024
 @functools.partial(jax.jit, static_argnames=("h", "stride"))
 def heavy_candidates(s_key, h: int = H, stride: int = SAMPLE_STRIDE):
     """Up to h candidate heavy keys from a strided sample (ascending;
-    slots without a qualifying run hold -1)."""
+    slots without a qualifying run hold -1).  Only keys in the pipeline's
+    real-key domain [0, MAX_KEY) qualify: negatives (chunked-table holes)
+    and input pads are dropped by pack_keys anyway."""
+    from aqp_tpu.ops.pallas.rho3 import MAX_KEY
+
     sample = jnp.sort(s_key[::stride])
     n = sample.shape[0]
     start = jnp.concatenate(
@@ -63,193 +75,46 @@ def heavy_candidates(s_key, h: int = H, stride: int = SAMPLE_STRIDE):
     length_at_end = jnp.where(end, idx - run_start + 1, 0)
     cand_len, cand_pos = jax.lax.top_k(length_at_end, h)
     key_at = sample[cand_pos]
-    out = jnp.where(cand_len >= MIN_SAMPLE_RUN, key_at, -1)
+    qual = (cand_len >= MIN_SAMPLE_RUN) & (key_at >= 0) & (key_at < MAX_KEY)
+    out = jnp.where(qual, key_at, -1)
     return jnp.sort(out)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def heavy_contrib(rk, rp, sk, sp, hk):
-    """Exact closed-form contribution of the candidate keys, and the
-    residual S keys (heavy rows remapped to the pipeline pad).
-
-    Returns (matches, checksum, sk_residual)."""
-    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
-
-    valid = hk >= 0  # (H,)
-
-    def stats(key, pay, chunk=1 << 22):
-        """Per-candidate (count, payload-sum mod 2^32) via fused
-        broadcast-reduces, row-chunked so the (chunk, H) compare tile
-        never materializes at full length."""
-        n = key.shape[0]
-        pad = (-n) % chunk
-        if pad:
-            key = jnp.concatenate([key, jnp.full((pad,), -1, key.dtype)])
-            pay = jnp.concatenate([pay, jnp.zeros((pad,), pay.dtype)])
-        kc = key.reshape(-1, chunk)
-        pc = pay.reshape(-1, chunk)
-
-        def body(carry, kp):
-            c, s = carry
-            k, p = kp
-            eq = k[:, None] == hk[None, :]
-            c = c + jnp.sum(eq.astype(jnp.int32), axis=0)
-            s = s + jnp.sum(jnp.where(eq, p[:, None].astype(jnp.uint32), 0),
-                            axis=0, dtype=jnp.uint32)
-            return (c, s), None
-
-        (cnt, psum), _ = jax.lax.scan(
-            body, (jnp.zeros((hk.shape[0],), jnp.int32),
-                   jnp.zeros((hk.shape[0],), jnp.uint32)), (kc, pc))
-        return cnt, psum
-
-    cnt, sps = stats(sk, sp)
-    rcnt, rph = stats(rk, rp)
-    pres = rcnt > 0
-    use = valid & pres
-    matches = jnp.sum(jnp.where(use, cnt, 0), dtype=jnp.int32)
-    checksum = jnp.sum(
-        jnp.where(use, cnt.astype(jnp.uint32) * rph + sps, jnp.uint32(0)),
-        dtype=jnp.uint32)
-    # residual: drop S rows of every VALID candidate (whether or not the
-    # key exists in R — a missing key matches nothing either way)
-    pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
-    is_heavy = (hk[pos] == sk) & (sk >= 0)
-    sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
-    return matches, checksum, sk_res
-
-
-def rho_skew_split_count(rk, rp, sk, sp, salt):
-    """Heavy-split count join: returns (matches, checksum, overflow).
-    overflow > 0 (residual still overflows a slot) => caller escalates to
-    the exact XLA core."""
-    from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3
-
-    hk = heavy_candidates(sk)
-    mh, ch, sk_res = heavy_contrib(rk, rp, sk, sp, hk)
-    m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt)
-    return m + mh, c + ch, ovf
-
-
 # ---------------------------------------------------------------------------
-# Round-4 serving path: ONE fused program + cached relation statistics
-# (VERDICT r3 item 4: the staged ladder paid one wasted pipeline run plus
-# 4-5 dispatch round-trips per skewed join — 81 M rows/s at z=1.5).
+# R-side candidate statistics.
+#
+# Default implementation is pure XLA with UNROLLED scalar-broadcast
+# compares — one fused pass over R, no (n, H) compare tile (the round-3
+# broadcast-scan formulation materialized that tile and cost ~0.9 s).
+# A Pallas/MXU variant (ones-matmul sublane reduction) is kept for
+# chip-side comparison (notes/r5 probes).
 
 
-@functools.partial(jax.jit, static_argnames=("with_checksum", "pipeline"))
-def skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
-                     pipeline=None):
-    """Fully fused heavy-split count join: candidate detection, exact
-    closed-form heavy contribution, residual remap, and the fixed-slot
-    residual pipeline as ONE jitted program (single dispatch).
-
-    `pipeline(rk, rp, sk, sp, salt, with_checksum) -> (m, c, ovf)` is the
-    residual engine — the RHO pipeline by default; the no-partition
-    family passes its own build/probe pipeline so PHT keeps its identity
-    under skew (the reference's PHT gets FASTER under skew via cache
-    hits; the heavy-split closed form is the TPU analog of that hot-key
-    shortcut).
-
-    Keys-only mode (with_checksum=False) skips every payload reduction —
-    the heavy statistics reduce to counts and the residual pipeline moves
-    no payload lanes (reference count branch, radix_join.cpp:428-447)."""
-    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT, rho_join_count_v3
-
-    hk = heavy_candidates(sk)
-    valid = hk >= 0
-
-    try:
-        use_pallas_stats = jax.devices()[0].platform != "cpu"
-    except Exception:
-        use_pallas_stats = False
-    if use_pallas_stats:
-        # one streaming pass: stats + heavy remap (see heavy_stats_pallas)
-        cnt, sps, sk_res = heavy_stats_pallas(
-            sk, sp, hk, with_pay=with_checksum, remap=True)
-        rcnt, rph, _ = heavy_stats_pallas(
-            rk, rp, hk, with_pay=with_checksum, remap=False)
-    else:
-        def stats(key, pay, chunk=1 << 22):
-            n = key.shape[0]
-            pad = (-n) % chunk
-            if pad:
-                key = jnp.concatenate(
-                    [key, jnp.full((pad,), -1, key.dtype)])
-                if with_checksum:
-                    pay = jnp.concatenate(
-                        [pay, jnp.zeros((pad,), pay.dtype)])
-            kc = key.reshape(-1, chunk)
-            pc = pay.reshape(-1, chunk) if with_checksum else kc
-
-            def body(carry, kp):
-                c, s = carry
-                k, p = kp
-                eq = k[:, None] == hk[None, :]
-                c = c + jnp.sum(eq.astype(jnp.int32), axis=0)
-                if with_checksum:
-                    s = s + jnp.sum(
-                        jnp.where(eq, p[:, None].astype(jnp.uint32), 0),
-                        axis=0, dtype=jnp.uint32)
-                return (c, s), None
-
-            (cnt, psum), _ = jax.lax.scan(
-                body, (jnp.zeros((hk.shape[0],), jnp.int32),
-                       jnp.zeros((hk.shape[0],), jnp.uint32)), (kc, pc))
-            return cnt, psum
-
-        cnt, sps = stats(sk, sp)
-        rcnt, rph = stats(rk, rp)
-        pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
-        is_heavy = (hk[pos] == sk) & (sk >= 0)
-        sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
-    use = valid & (rcnt > 0)
-    mh = jnp.sum(jnp.where(use, cnt, 0), dtype=jnp.int32)
-    if with_checksum:
-        ch = jnp.sum(
-            jnp.where(use, cnt.astype(jnp.uint32) * rph + sps,
-                      jnp.uint32(0)),
-            dtype=jnp.uint32)
-    else:
-        ch = jnp.uint32(0)
-    if pipeline is None:
-        m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt,
-                                      with_checksum=with_checksum)
-    else:
-        m, c, ovf = pipeline(rk, rp, sk_res, sp, salt, with_checksum)
-    return m + mh, c + ch, ovf
+@functools.partial(jax.jit, static_argnames=("with_pay",))
+def r_cand_stats(rk, rp, hk, with_pay: bool = True):
+    """Per-candidate (count, payload-sum mod 2^32) over R: 2H fused global
+    reductions, each a scalar-broadcast compare — XLA fuses the chain into
+    one bandwidth-bound pass over R."""
+    cnts = []
+    pays = []
+    for c in range(hk.shape[0]):
+        hv = hk[c]
+        eq = (rk == hv) & (hv >= 0)
+        cnts.append(jnp.sum(eq, dtype=jnp.int32))
+        if with_pay:
+            pays.append(jnp.sum(jnp.where(eq, rp, 0), dtype=jnp.int32))
+    cnt = jnp.stack(cnts)
+    pay = (jnp.stack(pays).astype(jnp.uint32) if with_pay
+           else jnp.zeros_like(cnt, dtype=jnp.uint32))
+    return cnt, pay
 
 
-def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True):
-    return skew_fused_count(rk, rp, sk, sp, salt,
-                            with_checksum=with_checksum)
-
-
-# ---------------------------------------------------------------------------
-# Streaming heavy-stats kernel: ONE pass over a relation computing, per
-# candidate key, the exact (count, payload sum) AND the heavy-remapped key
-# column (heavy rows -> the pipeline's input pad).  The XLA broadcast-scan
-# formulation of the same statistics measured ~0.9 s at headline scale
-# (bad fusion of the (chunk, H) compare tile); this kernel is one
-# bandwidth-bound sweep + H scalar-broadcast compares per block.
-
-
-def _make_heavy_kernel(h: int, with_pay: bool, remap: bool, sub: int):
-    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
-
+def _make_rstats_kernel(h: int, with_pay: bool, sub: int, mxu: bool):
     def kernel(hk_ref, *refs):
         if with_pay:
-            k_ref, p_ref = refs[:2]
-            rest = refs[2:]
+            k_ref, p_ref, cnt_ref, ps_ref = refs
         else:
-            k_ref = refs[0]
-            rest = refs[1:]
-        if remap:
-            ok_ref, cnt_ref = rest[:2]
-            ps_ref = rest[2] if with_pay else None
-        else:
-            cnt_ref = rest[0]
-            ps_ref = rest[1] if with_pay else None
+            (k_ref, cnt_ref), p_ref, ps_ref = refs[:2], None, None
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -259,112 +124,273 @@ def _make_heavy_kernel(h: int, with_pay: bool, remap: bool, sub: int):
 
         k = k_ref[:]
         p = p_ref[:] if with_pay else None
-        heavy = jnp.zeros(k.shape, jnp.bool_)
-        # per-candidate LANE-WISE partials (sublane reduce only): a full
-        # cross-lane reduce per (block, candidate) measured ~0.65 s at
-        # headline scale; the (h, 128) accumulator block keeps every
-        # reduction in the cheap axis, the caller sums 128 lanes once
-        for c in range(h):
-            hv = hk_ref[c]
-            eq = (k == hv) & (hv >= 0)
-            heavy = heavy | eq
-            cnt_ref[c, :] += jnp.sum(eq.astype(jnp.int32), axis=0)
-            if ps_ref is not None:
-                ps_ref[c, :] += jnp.sum(jnp.where(eq, p, 0), axis=0,
-                                        dtype=jnp.int32)
-        if remap:
-            ok_ref[:] = jnp.where(heavy, jnp.int32(PAD_S_INPUT), k)
+        if mxu:
+            # sublane reduction on the MXU: ones(8,sub) @ eq(sub,128) int8
+            ones = jnp.ones((8, sub), jnp.int8)
+            if with_pay:
+                planes = [((p >> (8 * i)) & 0xFF).astype(jnp.int8)
+                          for i in range(4)]
+            crows = []
+            prows = []
+            for c in range(h):
+                hv = hk_ref[c]
+                eq = ((k == hv) & (hv >= 0))
+                eq8 = eq.astype(jnp.int8)
+                y = jax.lax.dot_general(
+                    ones, eq8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                crows.append(y[0:1, :])
+                if with_pay:
+                    # unique R keys: at most one matching element per
+                    # candidate, so per-plane int8 sums recombine exactly
+                    ys = [jax.lax.dot_general(
+                        ones, jnp.where(eq, pl_, 0).astype(jnp.int8),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)[0:1, :]
+                        for pl_ in planes]
+                    prows.append((ys[0] & 0xFF) | ((ys[1] & 0xFF) << 8)
+                                 | ((ys[2] & 0xFF) << 16) | (ys[3] << 24))
+            cnt_ref[:] += jnp.concatenate(crows, axis=0)
+            if with_pay:
+                ps_ref[:] += jnp.concatenate(prows, axis=0)
+        else:
+            for c in range(h):
+                hv = hk_ref[c]
+                eq = (k == hv) & (hv >= 0)
+                cnt_ref[c, :] += jnp.sum(eq.astype(jnp.int32), axis=0)
+                if with_pay:
+                    ps_ref[c, :] += jnp.sum(jnp.where(eq, p, 0), axis=0,
+                                            dtype=jnp.int32)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("with_pay", "remap",
-                                             "interpret"))
-def heavy_stats_pallas(key, pay, hk, with_pay: bool = True,
-                       remap: bool = True, interpret: bool = False):
-    """Per-candidate (count, payload-sum) + heavy-remapped keys in one
-    streaming pass.  Returns (counts[h], psums[h] uint32, remapped|None)."""
+@functools.partial(jax.jit, static_argnames=("with_pay", "mxu", "interpret"))
+def r_cand_stats_pallas(rk, rp, hk, with_pay: bool = True, mxu: bool = True,
+                        interpret: bool = False):
+    """Pallas variant of r_cand_stats: one streaming pass, per-candidate
+    lane partials in a resident (H, 128) accumulator; `mxu=True` reduces
+    sublanes with int8 ones-matmuls instead of vector reductions."""
     h = hk.shape[0]
-    sub = 1024
-    lanes = 128
-    n = key.shape[0]
+    sub, lanes = 1024, 128
+    n = rk.shape[0]
     block = sub * lanes
     padn = (-n) % block
     if padn:
-        key = jnp.concatenate([key, jnp.full((padn,), -7, jnp.int32)])
+        rk = jnp.concatenate([rk, jnp.full((padn,), -7, jnp.int32)])
         if with_pay:
-            pay = jnp.concatenate([pay, jnp.zeros((padn,), jnp.int32)])
-    nb = key.shape[0] // block
-    ins = [key.reshape(-1, lanes)]
+            rp = jnp.concatenate([rp, jnp.zeros((padn,), jnp.int32)])
+    nb = rk.shape[0] // block
+    ins = [rk.reshape(-1, lanes)]
     if with_pay:
-        ins.append(pay.reshape(-1, lanes))
-    narr = len(ins)
-    out_specs = []
-    out_shape = []
-    if remap:
-        out_specs.append(pl.BlockSpec((sub, lanes), lambda i, s: (i, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((nb * sub, lanes), jnp.int32))
-    # (h, 128) lane-partial accumulators (constant index map: the block
-    # stays resident across grid steps)
-    out_specs.append(pl.BlockSpec((h, lanes), lambda i, s: (0, 0)))
-    out_shape.append(jax.ShapeDtypeStruct((h, lanes), jnp.int32))
-    if with_pay:
-        out_specs.append(pl.BlockSpec((h, lanes), lambda i, s: (0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((h, lanes), jnp.int32))
+        ins.append(rp.reshape(-1, lanes))
+    acc_spec = pl.BlockSpec((h, lanes), lambda i, s: (0, 0))
+    acc_shape = jax.ShapeDtypeStruct((h, lanes), jnp.int32)
+    nout = 2 if with_pay else 1
     outs = pl.pallas_call(
-        _make_heavy_kernel(h, with_pay, remap, sub),
+        _make_rstats_kernel(h, with_pay, sub, mxu),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[pl.BlockSpec((sub, lanes), lambda i, s: (i, 0))
-                      ] * narr,
-            out_specs=out_specs,
+                      ] * len(ins),
+            out_specs=[acc_spec] * nout,
         ),
-        out_shape=out_shape,
+        out_shape=[acc_shape] * nout,
         interpret=interpret,
     )(hk, *ins)
-    i = 0
-    remapped = None
-    if remap:
-        remapped = outs[0].reshape(-1)[:n]
-        i = 1
-    counts = jnp.sum(outs[i], axis=1, dtype=jnp.int32)
-    psums = (jnp.sum(outs[i + 1].astype(jnp.uint32), axis=1,
-                     dtype=jnp.uint32) if with_pay
-             else jnp.zeros((h,), jnp.uint32))
-    return counts, psums, remapped
+    cnt = jnp.sum(outs[0], axis=1, dtype=jnp.int32)
+    pay = (jnp.sum(outs[1].astype(jnp.uint32), axis=1, dtype=jnp.uint32)
+           if with_pay else jnp.zeros((h,), jnp.uint32))
+    return cnt, pay
 
+
+# ---------------------------------------------------------------------------
+# S-side split pass: remap + heavy count/checksum, NO per-candidate
+# reductions.  XLA formulation (fuses into one bandwidth-bound pass).
+
+
+@functools.partial(jax.jit, static_argnames=("with_pay",))
+def heavy_split_pass(sk, sp, hk, pres, rph, with_pay: bool = True):
+    """One fused pass over S.  pres[c] (bool) = candidate c present in R;
+    rph[c] = its unique R payload.  Returns (mh, ch, sk_res):
+      mh = #rows whose key is a PRESENT candidate (= heavy matches),
+      ch = sum over those rows of (rph[key] + s_payload) mod 2^32,
+      sk_res = keys with EVERY candidate's rows remapped to the input pad.
+    """
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+
+    heavy = jnp.zeros(sk.shape, bool)
+    hp = jnp.zeros(sk.shape, bool)
+    rpof = jnp.zeros(sk.shape, jnp.int32) if with_pay else None
+    for c in range(hk.shape[0]):
+        hv = hk[c]
+        eq = sk == hv  # hv = -1 slots can't equal candidate-domain keys
+        heavy = heavy | eq
+        pq = eq & pres[c]
+        hp = hp | pq
+        if with_pay:
+            rpof = rpof + jnp.where(pq, rph[c].astype(jnp.int32), 0)
+    mh = jnp.sum(hp, dtype=jnp.int32)
+    if with_pay:
+        ch = jnp.sum(
+            jnp.where(hp, rpof.astype(jnp.uint32) + sp.astype(jnp.uint32),
+                      jnp.uint32(0)), dtype=jnp.uint32)
+    else:
+        ch = jnp.uint32(0)
+    sk_res = jnp.where(heavy, jnp.int32(PAD_S_INPUT), sk)
+    return mh, ch, sk_res
+
+
+# ---------------------------------------------------------------------------
+# Fused serving paths.
+
+
+@functools.partial(jax.jit, static_argnames=("with_checksum", "pipeline",
+                                             "resid_cap_rows"))
+def skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
+                     pipeline=None, resid_cap_rows: int = 0):
+    """Fully fused heavy-split count join: candidate detection, R-side
+    stats, the S split pass, and the fixed-slot residual pipeline as ONE
+    jitted program (single dispatch).
+
+    `pipeline(rk, rp, sk, sp, salt, with_checksum) -> (m, c, ovf)` is the
+    residual engine — the RHO pipeline by default; the no-partition
+    family passes its own build/probe pipeline so PHT keeps its identity
+    under skew.
+
+    `resid_cap_rows > 0` COMPACTS the remapped S to that static row
+    capacity (128 elems/row) before the residual pipeline — the skew
+    ADVANTAGE mode: high skew leaves a small residual, so the join gets
+    faster as z grows (the reference PHT's hot-key cache effect,
+    data/skew.csv).  Compaction overflow (heavy mass shrank below the
+    sampled plan) is reported through the overflow channel — callers
+    escalate to the uncompacted tier, never a silent wrong answer."""
+    from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3
+
+    hk = heavy_candidates(sk)
+    rcnt, rph = r_cand_stats(rk, rp, hk, with_pay=with_checksum)
+    pres = (hk >= 0) & (rcnt > 0)
+    mh, ch, sk_res = heavy_split_pass(sk, sp, hk, pres, rph,
+                                      with_pay=with_checksum)
+    ovf_extra = jnp.int32(0)
+    if resid_cap_rows > 0:
+        from aqp_tpu.ops.pallas.lanecompact import compact_kp_fast
+        from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+
+        sk_res, sp_res, covf = compact_kp_fast(
+            sk_res, sp if with_checksum else sk_res, resid_cap_rows,
+            pad_key=PAD_S_INPUT)
+        sp = sp_res if with_checksum else jnp.zeros_like(sk_res)
+        ovf_extra = covf
+    if pipeline is None:
+        m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt,
+                                      with_checksum=with_checksum)
+    else:
+        m, c, ovf = pipeline(rk, rp, sk_res, sp, salt, with_checksum)
+    return m + mh, c + ch, ovf + ovf_extra
+
+
+def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
+                         resid_cap_rows: int = 0):
+    return skew_fused_count(rk, rp, sk, sp, salt,
+                            with_checksum=with_checksum,
+                            resid_cap_rows=resid_cap_rows)
+
+
+# legacy closed-form helper (tests / distributed skew engine)
+@jax.jit
+def heavy_contrib(rk, rp, sk, sp, hk):
+    """Exact closed-form contribution of the candidate keys, and the
+    residual S keys (heavy rows remapped to the pipeline pad).
+    Returns (matches, checksum, sk_residual)."""
+    rcnt, rph = r_cand_stats(rk, rp, hk, with_pay=True)
+    pres = (hk >= 0) & (rcnt > 0)
+    return heavy_split_pass(sk, sp, hk, pres, rph, with_pay=True)
+
+
+def rho_skew_split_count(rk, rp, sk, sp, salt):
+    """Heavy-split count join: returns (matches, checksum, overflow)."""
+    from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3
+
+    hk = heavy_candidates(sk)
+    mh, ch, sk_res = heavy_contrib(rk, rp, sk, sp, hk)
+    m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt)
+    return m + mh, c + ch, ovf
+
+
+# ---------------------------------------------------------------------------
+# Sampled skew statistics cache (base-table statistics analog): computed
+# once per probe relation (weakref'd by array identity — never pins HBM).
 
 _HINT_CACHE: dict = {}
 
 
 @jax.jit
-def _max_sample_run(s_key):
+def _sample_stats(s_key):
+    """(max_run, qualifying_mass, n_sample) from the strided sample:
+    max_run drives the dispatch hint; qualifying_mass / n_sample estimates
+    the total heavy fraction (top-H runs >= MIN_SAMPLE_RUN)."""
     sample = jnp.sort(s_key[::SAMPLE_STRIDE])
     n = sample.shape[0]
     start = jnp.concatenate(
         [jnp.ones((1,), bool), sample[1:] != sample[:-1]])
+    end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
     idx = jnp.arange(n, dtype=jnp.int32)
     run_start = jax.lax.cummax(jnp.where(start, idx, -1))
-    return jnp.max(idx - run_start + 1)
+    length_at_end = jnp.where(end, idx - run_start + 1, 0)
+    top, _ = jax.lax.top_k(length_at_end, H)
+    mass = jnp.sum(jnp.where(top >= MIN_SAMPLE_RUN, top, 0),
+                   dtype=jnp.int32)
+    return jnp.max(length_at_end), mass, jnp.int32(n)
+
+
+# residual-capacity ladder (fractions of |S|): few static variants keep
+# the compile cache small while tracking the sampled heavy mass
+_TIER_FRACS = (0.125, 0.1875, 0.25, 0.375, 0.5, 0.75)
+
+
+def skew_plan(s_key):
+    """(is_skewed, resid_cap_rows): cached sampled skew statistics.
+
+    resid_cap_rows > 0 selects the compacted-residual tier: the smallest
+    ladder fraction covering the sampled light mass with ~15% + sampling
+    margin; 0 means run the full-capacity skew tier (mild skew — the
+    compaction wouldn't pay for itself below ~25% heavy mass)."""
+    key = id(s_key)
+    hit = _HINT_CACHE.get(key)
+    if hit is not None and hit[0]() is s_key:
+        return hit[1]
+    mx, mass, n = jax.device_get(_sample_stats(s_key))
+    hinted = bool(mx >= HINT_MIN_RUN)
+    cap_rows = 0
+    if hinted:
+        light = 1.0 - float(mass) / float(n)
+        need = min(1.0, light * 1.15 + 0.02)
+        for f in _TIER_FRACS:
+            if f >= need:
+                # whole output rows (128 elems) for the lane compactor
+                cap_rows = -(-int(s_key.shape[0] * f) // 128)
+                break
+    plan = (hinted, cap_rows)
+    if len(_HINT_CACHE) >= 32:  # id-reuse tombstones only; entries tiny
+        _HINT_CACHE.clear()
+    try:
+        _HINT_CACHE[key] = (weakref.ref(s_key), plan)
+    except TypeError:  # non-weakrefable array type: skip caching
+        pass
+    return plan
 
 
 def skew_hint(s_key) -> bool:
-    """Cheap cached skew statistic for a probe relation: does a strided
-    sample contain a qualifying heavy run?  The analog of base-table
-    statistics in a database engine — computed once per relation (cached
-    by array identity), so the dispatcher can pick the heavy-split tier
-    FIRST instead of burning a full pipeline run to discover skew."""
-    key = id(s_key)
-    hit = _HINT_CACHE.get(key)
-    if hit is not None and hit[0] is s_key:
-        return hit[1]
-    flag = bool(int(_max_sample_run(s_key)) >= HINT_MIN_RUN)
-    # strong refs keep the cached relations alive; keep the cache tiny
-    if len(_HINT_CACHE) >= 8:
-        _HINT_CACHE.clear()
-    _HINT_CACHE[key] = (s_key, flag)
-    return flag
+    """Does a strided sample contain a qualifying heavy run?  (Cached —
+    the dispatcher picks the heavy-split tier FIRST instead of burning a
+    full pipeline run to discover skew.)"""
+    return skew_plan(s_key)[0]
+
+
+# ---------------------------------------------------------------------------
+# Materializing skew path.
 
 
 @jax.jit
@@ -376,23 +402,25 @@ def heavy_materialize(rk, rp, sk, sp, hk):
     residual S keys and (matches, checksum) of the heavy part."""
     from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
 
-    valid = hk >= 0
-    # unique-R payload lookup per candidate (same fused reduce as
-    # heavy_contrib's stats, R side only)
-    eq_r = rk[:, None] == hk[None, :]
-    pres = (jnp.sum(eq_r.astype(jnp.int32), axis=0) > 0) & valid
-    rph = jnp.sum(jnp.where(eq_r, rp[:, None], 0), axis=0)
-    pos = jnp.clip(jnp.searchsorted(hk, sk), 0, hk.shape[0] - 1)
-    is_heavy = (hk[pos] == sk) & (sk >= 0)
-    hit = is_heavy & pres[pos]
+    rcnt, rph = r_cand_stats(rk, rp, hk, with_pay=True)
+    pres = (hk >= 0) & (rcnt > 0)
+    heavy = jnp.zeros(sk.shape, bool)
+    hit = jnp.zeros(sk.shape, bool)
+    rpof = jnp.zeros(sk.shape, jnp.int32)
+    for c in range(hk.shape[0]):
+        eq = sk == hk[c]
+        heavy = heavy | eq
+        pq = eq & pres[c]
+        hit = hit | pq
+        rpof = rpof + jnp.where(pq, rph[c].astype(jnp.int32), 0)
     out_k = jnp.where(hit, sk, -3)
-    out_rp = jnp.where(hit, rph[pos], 0)
+    out_rp = jnp.where(hit, rpof, 0)
     out_sp = jnp.where(hit, sp, 0)
     matches = jnp.sum(hit, dtype=jnp.int32)
     checksum = jnp.sum(
         jnp.where(hit, out_rp.astype(jnp.uint32) + sp.astype(jnp.uint32),
                   jnp.uint32(0)), dtype=jnp.uint32)
-    sk_res = jnp.where(is_heavy, PAD_S_INPUT, sk)
+    sk_res = jnp.where(heavy, jnp.int32(PAD_S_INPUT), sk)
     return matches, checksum, out_k, out_rp, out_sp, sk_res
 
 

@@ -249,6 +249,12 @@ def _assemble(blocks, counts, w: int, cap_rows: int, nb: int,
     rows = -(-counts // LANES)                        # ceil to whole rows
     doff = jnp.cumsum(rows) - rows
     ovf = jnp.maximum(doff[-1] + rows[-1] - cap_rows, 0)
+    # clamp segments to the output buffer BEFORE issuing DMAs: past-capacity
+    # destination offsets would be OOB HBM writes in the compiled kernel
+    # (the interpret-mode reference clamps via mode="drop"); ovf above
+    # remains the reported truncation signal (ADVICE r4)
+    rows = jnp.clip(jnp.minimum(rows, cap_rows - doff), 0, None)
+    doff = jnp.minimum(doff, cap_rows)
     soff = jnp.arange(nb, dtype=jnp.int32) * w
     total = jnp.sum(counts, dtype=jnp.int32)
     outs = []

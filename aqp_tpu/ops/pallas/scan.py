@@ -27,25 +27,12 @@ def _mask(x_ref, lo_hi_ref):
     return x, (x >= lo_hi_ref[0]) & (x <= lo_hi_ref[1])
 
 
-def _mask8(x_ref, lo_hi_ref):
-    """Predicate evaluated natively in 8 bits: unsigned order maps to
-    signed int8 order via the bias bijection x ^ 0x80, so the whole
-    compare runs at the VPU's 8-bit rate — no per-element widening (the
-    widen-to-int32 variant measured ~140 GB/s; the byte path removes 4x
-    the VMEM traffic of the hot loop).  The reference kernel does the
-    same: cmple_epu8 masks, no widening (SIMD512.cpp)."""
-    x = x_ref[:]
-    xb = (x ^ jnp.uint8(0x80)).astype(jnp.int8)
-    lo = (lo_hi_ref[0] ^ 0x80).astype(jnp.int8)
-    hi = (lo_hi_ref[1] ^ 0x80).astype(jnp.int8)
-    return x, (xb >= lo) & (xb <= hi)
-
-
 def _count_kernel(lo_hi_ref, x_ref, part_ref):
-    # NOTE: a byte-native variant (int8 compares + one-hot MXU mask
-    # reduction) was probed and CRASHES this toolchain's Mosaic backend at
-    # (8, sub) int8 matmul shapes; the int32-widened form is the proven
-    # path (~140 GB/s at 2^30 rows — above the 113.7 GB/s reference).
+    # NOTE: a byte-native variant (int8 bias-bijection compares + one-hot
+    # MXU mask reduction) was probed and CRASHES this toolchain's Mosaic
+    # backend at (8, sub) int8 matmul shapes; the int32-widened form is the
+    # proven path (~140 GB/s at 2^30 rows — above the 113.7 GB/s
+    # reference), so the byte path was removed (ADVICE r4).
     _, m = _mask(x_ref, lo_hi_ref)
     s = jnp.sum(m.astype(jnp.int32), dtype=jnp.int32)
     part_ref[:] = jnp.full((8, LANES), s, jnp.int32)

@@ -76,6 +76,12 @@ class JoinResult:
     key: Optional[jax.Array] = None
     r_payload: Optional[jax.Array] = None
     s_payload: Optional[jax.Array] = None
+    # Deferred-validation channel (JoinConfig.defer): the serving tier's
+    # device-resident overflow counter.  None = already validated.  A
+    # deferred result is valid iff int(overflow) == 0; otherwise the
+    # caller re-runs via joins.api.finalize_join (escalation ladder) —
+    # overflow is REPORTED, never silent (rho3 contract).
+    overflow: Optional[jax.Array] = None
 
     @property
     def materialized(self) -> bool:

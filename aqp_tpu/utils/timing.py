@@ -150,3 +150,13 @@ class PhaseTimer:
         hard_sync(out)
         self.t.phases[name] = self.t.phases.get(name, 0.0) + (time.perf_counter() - t0)
         return out
+
+    def submit_fn(self, name: str, fn, *args, **kw):
+        """Non-blocking variant for the deferred serving mode
+        (JoinConfig.defer): records submission time only — the caller's
+        pipelined loop measures the real device time end-to-end."""
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        self.t.phases[name] = self.t.phases.get(name, 0.0) + (
+            time.perf_counter() - t0)
+        return out

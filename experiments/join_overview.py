@@ -8,7 +8,8 @@ from aqp_tpu.utils import ensure_platform_from_env
 
 ensure_platform_from_env()
 
-from aqp_tpu.harness import ExperimentConfig, run_experiments, rows_to_csv
+from aqp_tpu.harness import (
+    ExperimentConfig, run_experiments_pipelined, rows_to_csv)
 from aqp_tpu.joins.api import JOIN_ALGORITHMS
 
 
@@ -21,13 +22,16 @@ def main(small: bool = False):
         sizes=[size],
         reps=3,
     )
-    rows = run_experiments(cfg)
+    # async-pipelined per-call timing (bench.py methodology): the
+    # reference's overview also times in-process calls without a
+    # per-call device round-trip; the dispatch floor here is 25-40 ms
+    rows = run_experiments_pipelined(cfg)
     nl_cfg = ExperimentConfig(
         algorithms=["NL"],
         sizes=[(1 << 14, 1 << 16) if small else (1 << 18, 1 << 20)],
         reps=3,
     )
-    rows += run_experiments(nl_cfg)
+    rows += run_experiments_pipelined(nl_cfg)
     rows_to_csv(rows, "results/join-overview.csv")
     print(f"wrote results/join-overview.csv ({len(rows)} rows)")
 

@@ -13,7 +13,8 @@ from aqp_tpu.utils import ensure_platform_from_env
 
 ensure_platform_from_env()
 
-from aqp_tpu.harness import ExperimentConfig, run_experiments, rows_to_csv
+from aqp_tpu.harness import (
+    ExperimentConfig, run_experiments_pipelined, rows_to_csv)
 
 
 def main(small: bool = False):
@@ -24,7 +25,7 @@ def main(small: bool = False):
         selectivities=[1.0, 10.0, 25.0, 50.0, 75.0, 100.0],
         reps=3,
     )
-    rows = run_experiments(cfg)
+    rows = run_experiments_pipelined(cfg)
     rows_to_csv(rows, "results/join-selectivity.csv")
     print(f"wrote results/join-selectivity.csv ({len(rows)} rows)")
 

@@ -7,7 +7,8 @@ from aqp_tpu.utils import ensure_platform_from_env
 
 ensure_platform_from_env()
 
-from aqp_tpu.harness import ExperimentConfig, run_experiments, rows_to_csv
+from aqp_tpu.harness import (
+    ExperimentConfig, run_experiments_pipelined, rows_to_csv)
 
 
 def main(small: bool = False):
@@ -18,7 +19,7 @@ def main(small: bool = False):
         skews=[None, 0.5, 1.0, 1.25, 1.5],
         reps=3,
     )
-    rows = run_experiments(cfg)
+    rows = run_experiments_pipelined(cfg)
     rows_to_csv(rows, "results/skew.csv")
 
 

@@ -123,28 +123,81 @@ def test_skewtier_materialize_multiset():
     assert got == want
 
 
-def test_heavy_stats_pallas_interpret():
-    """Streaming heavy-stats kernel vs numpy: exact per-candidate counts,
-    payload sums mod 2^32, and the heavy-remap output."""
+def test_r_cand_stats_exact():
+    """Per-candidate R stats (XLA and Pallas-interpret variants) vs numpy:
+    counts and payload sums."""
     import numpy as np
     import jax.numpy as jnp
-    from aqp_tpu.joins.skewtier import heavy_stats_pallas
-    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+    from aqp_tpu.joins.skewtier import r_cand_stats, r_cand_stats_pallas
 
     rng = np.random.default_rng(0)
     n = 1 << 15
+    key = rng.permutation(n).astype(np.int32) + 1  # unique (engine contract)
+    pay = rng.integers(0, 1 << 20, n).astype(np.int32)
+    hk = np.sort(np.array([3, 7, 11, 99999999] + [-1] * 28)).astype(np.int32)
+    for impl in ("xla", "pallas_sum"):
+        if impl == "xla":
+            cnt, ps = r_cand_stats(jnp.asarray(key), jnp.asarray(pay),
+                                   jnp.asarray(hk), with_pay=True)
+        else:
+            cnt, ps = r_cand_stats_pallas(
+                jnp.asarray(key), jnp.asarray(pay), jnp.asarray(hk),
+                with_pay=True, mxu=False, interpret=True)
+        for i, hv in enumerate(hk):
+            if hv < 0:
+                assert int(cnt[i]) == 0, impl
+                continue
+            m = key == hv
+            assert int(cnt[i]) == int(m.sum()), (impl, hv)
+            assert int(ps[i]) == int(
+                np.uint32(pay[m].astype(np.uint32).sum())), (impl, hv)
+
+
+def test_heavy_split_pass_exact():
+    """Single-pass S split: remap covers ALL candidates, count/checksum
+    only the R-present ones."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aqp_tpu.joins.skewtier import heavy_split_pass
+    from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
+
+    rng = np.random.default_rng(1)
+    n = 1 << 14
     key = rng.integers(0, 50, n).astype(np.int32)
     pay = rng.integers(0, 1 << 20, n).astype(np.int32)
-    hk = np.sort(np.array([3, 7, 11, -1] + [-1] * 28)).astype(np.int32)
-    cnt, ps, remapped = heavy_stats_pallas(
+    hk = np.sort(np.array([3, 7, 11, 21] + [-1] * 28)).astype(np.int32)
+    pres = np.array([hv in (3, 11) for hv in hk])
+    rph = np.where([hv == 3 for hv in hk], 555,
+                   np.where([hv == 11 for hv in hk], 777, 0)).astype(
+                       np.uint32)
+    mh, ch, sk_res = heavy_split_pass(
         jnp.asarray(key), jnp.asarray(pay), jnp.asarray(hk),
-        with_pay=True, remap=True, interpret=True)
-    for i, hv in enumerate(hk):
-        if hv < 0:
-            assert int(cnt[i]) == 0
-            continue
-        m = key == hv
-        assert int(cnt[i]) == int(m.sum()), hv
-        assert int(ps[i]) == int(np.uint32(pay[m].astype(np.uint32).sum()))
+        jnp.asarray(pres), jnp.asarray(rph), with_pay=True)
+    hit = np.isin(key, [3, 11])
+    assert int(mh) == int(hit.sum())
+    want_ch = np.uint32(
+        (np.where(key == 3, 555, 777)[hit].astype(np.uint64).sum()
+         + pay[hit].astype(np.uint64).sum()) % (1 << 32))
+    assert int(ch) == int(want_ch)
     want = np.where(np.isin(key, hk[hk >= 0]), PAD_S_INPUT, key)
-    np.testing.assert_array_equal(np.asarray(remapped), want)
+    np.testing.assert_array_equal(np.asarray(sk_res), want)
+
+
+def test_skew_plan_tiers():
+    """skew_plan: uniform FK -> no hint; Zipf z=1.5 -> hint + a compacted
+    residual capacity well below |S| (the skew-advantage tier)."""
+    from aqp_tpu.data import create_relation_fk, create_relation_zipf
+    from aqp_tpu.joins.skewtier import skew_plan
+
+    # sample = |S|/64 rows; the hint bound (HINT_MIN_RUN) is an absolute
+    # sampled run length, so use a serving-scale |S|
+    ns, nr = 1 << 21, 1 << 14
+    uni = create_relation_fk(ns, nr, seed=31)
+    hinted, cap = skew_plan(uni.key)
+    assert not hinted
+    z = create_relation_zipf(ns, nr, 1.5, seed=32)
+    hinted, cap = skew_plan(z.key)
+    assert hinted
+    assert 0 < cap <= (ns // 128) // 2  # residual at most half of |S|
+    # cached: same object returns identical plan without recompute
+    assert skew_plan(z.key) == (hinted, cap)
