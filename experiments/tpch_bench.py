@@ -23,8 +23,36 @@ from aqp_tpu.queries.fused import (
     tpch_q3_fused, tpch_q10_fused, tpch_q12_fused, tpch_q19_fused)
 
 
-def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3):
-    l, o, c, p, n = generate_tpch_tables(scale=scale)
+def load_disk_tables(scale: float):
+    """dbgen-conformant binary column store (generated once on disk by
+    aqp_tpu/data/tpch_dbgen.py — the reference's CSVConvert layout), loaded
+    through data/tpch_loader like the reference's TpcHCommons loaders."""
+    import jax
+
+    from aqp_tpu.data import tpch_dbgen, tpch_loader
+
+    t0 = time.perf_counter()
+    base = tpch_dbgen.ensure_generated(scale)
+    t1 = time.perf_counter()
+    l = tpch_loader.load_lineitem(base)
+    o = tpch_loader.load_orders(base)
+    c = tpch_loader.load_customer(base)
+    p = tpch_loader.load_part(base)
+    n = tpch_loader.load_nation(base)
+    jax.block_until_ready((l.key, o.key, c.key, p.key, n.key))
+    print(f"disk tables sf={scale}: generate {t1 - t0:.1f}s, "
+          f"load+upload {time.perf_counter() - t1:.1f}s "
+          f"({l.key.shape[0]} lineitems)", flush=True)
+    return l, o, c, p, n
+
+
+def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3,
+         source: str = "disk", csv_path: str = "results/tpch.csv",
+         append: bool = False, run_staged: bool = True):
+    if source == "disk":
+        l, o, c, p, n = load_disk_tables(scale)
+    else:
+        l, o, c, p, n = generate_tpch_tables(scale=scale)
     rows = []
     staged = [
         ("Q3", tpch_q3, (c, o, l)),
@@ -33,6 +61,8 @@ def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3):
         ("Q19", tpch_q19, (l, p)),
     ]
     lrows = l.shipdate.shape[0]
+    if not run_staged:
+        staged = []
     for name, fn, args in staged:
         fn(*args, algorithm=algorithm)  # warmup: compiles out of the timing
         for rep in range(reps):
@@ -45,7 +75,8 @@ def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3):
                 flush=True,
             )
             rows.append((name, scale, "staged", algorithm, rep,
-                         round(t.mrows_per_s, 2), int(res.matches)))
+                         round(t.mrows_per_s, 2), int(res.matches),
+                         source))
     # reference throughput convention: (sum of the query's input-table
     # rows) / total seconds (tpch.cpp:111-114 — numTuples = l + o + c ...)
     nrows = {
@@ -62,28 +93,35 @@ def main(scale: float = 1.0, algorithm: str = "RHO", reps: int = 3):
     ]
     for name, fn, args in fused:
         m, ok = fn(*args)
-        hard_sync(m)
+        matches = int(m)  # hard sync
         assert bool(ok), f"{name} fused plan overflowed its bounds"
+        # async-pipelined reps (bench.py methodology): dispatch overlaps
+        # device execution; one device->host fetch at the end
+        t0 = time.perf_counter()
         for rep in range(reps):
-            t0 = time.perf_counter()
             m, ok = fn(*args)
-            matches = int(m)  # device->host fetch = hard sync
-            dt = time.perf_counter() - t0
-            mrs = nrows[name] / dt / 1e6
-            print(f"{name} fused sf={scale} rep={rep}: {mrs:.1f} M rows/s "
-                  f"matches={matches} ({dt * 1e3:.1f} ms)", flush=True)
+        assert int(m) == matches
+        dt = (time.perf_counter() - t0) / reps
+        mrs = nrows[name] / dt / 1e6
+        print(f"{name} fused sf={scale}: {mrs:.1f} M rows/s "
+              f"matches={matches} ({dt * 1e3:.1f} ms/query)", flush=True)
+        for rep in range(reps):
             rows.append((name, scale, "fused", "RHO", rep,
-                         round(mrs, 2), matches))
+                         round(mrs, 2), matches, source))
     import os
 
     os.makedirs("results", exist_ok=True)
-    with open("results/tpch.csv", "w") as f:
-        f.write("query,scale,plan,alg,rep,throughput_mrows,matches\n")
+    mode = "a" if append else "w"
+    with open(csv_path, mode) as f:
+        if not append:
+            f.write("query,scale,plan,alg,rep,throughput_mrows,matches,"
+                    "source\n")
         for r in rows:
             f.write(",".join(map(str, r)) + "\n")
-    print(f"wrote results/tpch.csv ({len(rows)} rows)")
+    print(f"wrote {csv_path} ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
     scale = 0.01 if "--small" in sys.argv else 1.0
-    main(scale=scale)
+    src = "synthetic" if "--synthetic" in sys.argv else "disk"
+    main(scale=scale, source=src)
