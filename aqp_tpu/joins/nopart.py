@@ -198,8 +198,9 @@ def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int,
                 relR.key, relR.payload, relS.key, relS.payload,
                 result_capacity(relS, cfg))
         else:
+            from aqp_tpu.joins.dense import _dense_proof
             from aqp_tpu.joins.skewtier import skew_fused_count, skew_plan
-            from aqp_tpu.ops.pallas.nphj import VARIANT_PIPELINES
+            from aqp_tpu.ops.pallas.nphj import VARIANT_PIPELINES_SKEW
 
             call = pt.submit_fn if cfg.defer else pt.time_fn
 
@@ -214,8 +215,10 @@ def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int,
                     "join", skew_fused_count, relR.key, relR.payload,
                     relS.key, relS.payload, salt,
                     with_checksum=cfg.checksum,
-                    pipeline=VARIANT_PIPELINES[variant],
-                    resid_cap_rows=cap_rows)
+                    pipeline=VARIANT_PIPELINES_SKEW[variant],
+                    resid_cap_rows=cap_rows,
+                    r_dense=(not cfg.checksum
+                             and _dense_proof(relR.key)))
 
             # stats-driven tier pick: detected probe-side skew goes
             # straight to the heavy-split tier — with the residual

@@ -183,14 +183,21 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                 return rho_join_count_v3(rk, rp, sk, sp, salt=salt,
                                          with_checksum=cfg.checksum)
 
+            def _r_dense():
+                from aqp_tpu.joins.dense import _dense_proof
+
+                return not cfg.checksum and _dense_proof(relR.key)
+
             def skew_v3(rk, rp, sk, sp, salt):
                 return rho_skew_fused_count(rk, rp, sk, sp, salt,
-                                            with_checksum=cfg.checksum)
+                                            with_checksum=cfg.checksum,
+                                            r_dense=_r_dense())
 
             def skew_resid(rk, rp, sk, sp, salt):
                 return rho_skew_fused_count(rk, rp, sk, sp, salt,
                                             with_checksum=cfg.checksum,
-                                            resid_cap_rows=cap_rows)
+                                            resid_cap_rows=cap_rows,
+                                            r_dense=_r_dense())
 
             if hinted:
                 tiers = ([(skew_resid, RETRY_SALTS[0])] if cap_rows else [])

@@ -16,8 +16,8 @@ structurally — the TPU analog of the hot-key cache hit is a CLOSED FORM:
          matches_h  = present_R(h) * cnt_S(h)
          checksum_h = cnt_S(h) * r_payload(h) + sum_S_payload(h) (mod 2^32)
   3. SPLIT PASS over S (the round-5 redesign): ONE fused elementwise pass
-     computing, per row, `heavy` (any candidate) for the残 remap and
-     `heavy_present` (candidate present in R) for the count — 32 unrolled
+     computing, per row, `heavy` (any candidate) for the remap and
+     `heavy_present` (candidate present in R) for the count — H unrolled
      scalar-broadcast compares, NO per-candidate reductions over S (the
      round-4 per-(block,candidate) stats kernel cost ~0.65 s at headline
      scale; this pass is bandwidth-bound).  Heavy S rows remap to the
@@ -25,8 +25,8 @@ structurally — the TPU analog of the hot-key cache hit is a CLOSED FORM:
   4. RESIDUAL: run the fixed-slot pipeline on the remapped S — optionally
      COMPACTED to a smaller static capacity chosen by the sampled heavy
      mass (skew_plan), so high skew makes the join FASTER, not slower:
-     at Zipf z=1.5 the top-32 keys carry ~87% of S, leaving a ~1/8-size
-     residual.
+     at Zipf z=1.5 the top candidates carry ~87% of S, leaving a
+     ~1/8-size residual.
 
 Total = residual pipeline + closed-form heavy contributions, exact for
 unique R keys (the engine's standing contract).
@@ -42,19 +42,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# top-k candidate capacity: a key can only overflow a fixed slot with
-# ~>= 228k global copies (per-block share C/nb must exceed the ~455-elem
-# slot margin); under Zipf the rank-k mass ~ k^-z, so fewer than ~25 keys
-# can ever cross that bound at z <= 2 — 32 slots cover it with margin.
-H = 32
-SAMPLE_STRIDE = 64
+# H=64: the residual pipeline's per-key overflow threshold is set by K2's
+# fine-slot slack times the window count (see SKEW_PRM below); at Zipf
+# z in [1, 2] the keys above that threshold are ranks <= ~45, so 64
+# candidates cover every serving configuration with margin (r5 probe:
+# H=32 left tail ranks 33+ overflowing the default geometry).
+H = 64
+SAMPLE_STRIDE = 128
 # a sampled run must repeat this often to be a candidate (global mass
 # ~ stride * this; far below the slot-overflow threshold => conservative)
 MIN_SAMPLE_RUN = 8
 # the DISPATCH hint uses a much stricter bound: only keys within ~3.5x of
 # the slot-overflow mass justify paying the heavy-split tier up front
 # (mild skew like Zipf z=0.5 sails through the plain pipeline).
-HINT_MIN_RUN = 1024
+HINT_MIN_RUN = 512
 
 
 @functools.partial(jax.jit, static_argnames=("h", "stride"))
@@ -246,10 +247,22 @@ def heavy_split_pass(sk, sp, hk, pres, rph, with_pay: bool = True):
 # Fused serving paths.
 
 
+# Residual-pipeline geometry: kd_slot_rows=128 doubles K2's fine-slot
+# slack, raising the per-key overflow threshold to ~margin*nbg (the Zipf
+# TAIL left after removing H candidates must fit the slots; the default
+# kd=64 margin was ~910/window and rank-33+ tail keys overflowed it —
+# notes/r5_probe1.log skew section).
+def _skew_prm():
+    from aqp_tpu.ops.pallas.rho3 import Rho3Params
+
+    return Rho3Params(kd_slot_rows=128)
+
+
 @functools.partial(jax.jit, static_argnames=("with_checksum", "pipeline",
-                                             "resid_cap_rows"))
+                                             "resid_cap_rows", "r_dense"))
 def skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
-                     pipeline=None, resid_cap_rows: int = 0):
+                     pipeline=None, resid_cap_rows: int = 0,
+                     r_dense: bool = False):
     """Fully fused heavy-split count join: candidate detection, R-side
     stats, the S split pass, and the fixed-slot residual pipeline as ONE
     jitted program (single dispatch).
@@ -266,36 +279,53 @@ def skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
     data/skew.csv).  Compaction overflow (heavy mass shrank below the
     sampled plan) is reported through the overflow channel — callers
     escalate to the uncompacted tier, never a silent wrong answer."""
-    from aqp_tpu.ops.pallas.rho3 import rho_join_count_v3
+    from aqp_tpu.ops.pallas.rho3 import Rho3Params, rho_join_count_v3
 
     hk = heavy_candidates(sk)
-    rcnt, rph = r_cand_stats(rk, rp, hk, with_pay=with_checksum)
-    pres = (hk >= 0) & (rcnt > 0)
+    if r_dense and not with_checksum:
+        # dense-PK build side (proof cached by the dispatcher,
+        # joins/dense._dense_proof): presence is closed-form — no R pass
+        nr = jnp.int32(rk.shape[0])
+        pres = (hk >= 1) & (hk <= nr)
+        rph = jnp.zeros_like(hk).astype(jnp.uint32)
+    else:
+        rcnt, rph = r_cand_stats(rk, rp, hk, with_pay=with_checksum)
+        pres = (hk >= 0) & (rcnt > 0)
     mh, ch, sk_res = heavy_split_pass(sk, sp, hk, pres, rph,
                                       with_pay=with_checksum)
     ovf_extra = jnp.int32(0)
     if resid_cap_rows > 0:
-        from aqp_tpu.ops.pallas.lanecompact import compact_kp_fast
+        from aqp_tpu.ops.pallas.lanecompact import (
+            compact_k_fast, compact_kp_fast)
         from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
 
-        sk_res, sp_res, covf = compact_kp_fast(
-            sk_res, sp if with_checksum else sk_res, resid_cap_rows,
-            pad_key=PAD_S_INPUT)
-        sp = sp_res if with_checksum else jnp.zeros_like(sk_res)
+        # selectivity-scaled compaction windows: the plan's capacity IS
+        # the keep-rate estimate (overshoot reported, caller escalates)
+        kf = min(1.0, resid_cap_rows * 128 / max(1, sk.shape[0]))
+        if with_checksum:
+            sk_res, sp, covf = compact_kp_fast(
+                sk_res, sp, resid_cap_rows, pad_key=PAD_S_INPUT,
+                keep_frac=kf)
+        else:
+            sk_res, covf = compact_k_fast(
+                sk_res, resid_cap_rows, pad_key=PAD_S_INPUT, keep_frac=kf)
+            sp = jnp.zeros_like(sk_res)
         ovf_extra = covf
     if pipeline is None:
         m, c, ovf = rho_join_count_v3(rk, rp, sk_res, sp, salt=salt,
-                                      with_checksum=with_checksum)
+                                      with_checksum=with_checksum,
+                                      prm=_skew_prm())
     else:
         m, c, ovf = pipeline(rk, rp, sk_res, sp, salt, with_checksum)
     return m + mh, c + ch, ovf + ovf_extra
 
 
 def rho_skew_fused_count(rk, rp, sk, sp, salt, with_checksum: bool = True,
-                         resid_cap_rows: int = 0):
+                         resid_cap_rows: int = 0, r_dense: bool = False):
     return skew_fused_count(rk, rp, sk, sp, salt,
                             with_checksum=with_checksum,
-                            resid_cap_rows=resid_cap_rows)
+                            resid_cap_rows=resid_cap_rows,
+                            r_dense=r_dense)
 
 
 # legacy closed-form helper (tests / distributed skew engine)

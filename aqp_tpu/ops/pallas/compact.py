@@ -296,6 +296,91 @@ def scatter_segments(ks, ps, soff, doff, sz, nseg: int, out_rows: int,
     )(desc, ks, ps, ok0, op0)
 
 
+def _make_scatter_kernel_one(chunk: int):
+    """Single-stream variant of _make_scatter_kernel (half the DMA issue
+    and write traffic for keys-only / odd-array callers)."""
+
+    def kernel(desc_hbm, sk, _ok0, ok, slab, dsem, sem):
+        i = pl.program_id(0)
+        pltpu.make_async_copy(desc_hbm.at[i], slab, dsem).start()
+        pltpu.make_async_copy(desc_hbm.at[i], slab, dsem).wait()
+
+        def copy(g, slot):
+            return pltpu.make_async_copy(
+                sk.at[pl.ds(slab[0, g], slab[2, g])],
+                ok.at[pl.ds(slab[1, g], slab[2, g])],
+                sem.at[slot],
+            )
+
+        def body(g, _):
+            slot = g % _Q
+
+            @pl.when(g >= _Q)
+            def _():
+                copy(g - _Q, slot).wait()
+
+            copy(g, slot).start()
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+
+        def drain(q, _):
+            g = chunk - _Q + q
+
+            @pl.when(g >= 0)
+            def _():
+                copy(g, g % _Q).wait()
+
+            return 0
+
+        jax.lax.fori_loop(0, _Q, drain, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nseg", "out_rows", "fill_key",
+                                             "interpret"))
+def scatter_segments_one(ks, soff, doff, sz, nseg: int, out_rows: int,
+                         fill_key: int = KEY_PAD_INT,
+                         interpret: bool = False):
+    """Single-array scatter_segments (same contract, one stream)."""
+    if interpret:
+        ok, _ = _scatter_reference(ks, ks, soff, doff, sz, out_rows,
+                                   fill_key)
+        return ok
+    trash = jnp.int32(out_rows - 1)
+    empty = sz == 0
+    soff = jnp.where(empty, 0, soff)
+    doff = jnp.where(empty, trash, doff)
+    sz = jnp.where(empty, 1, sz)
+    nchunks = -(-nseg // _CHUNK)
+    padn = nchunks * _CHUNK - nseg
+    if padn:
+        soff = jnp.concatenate([soff, jnp.zeros((padn,), jnp.int32)])
+        doff = jnp.concatenate([doff, jnp.full((padn,), trash, jnp.int32)])
+        sz = jnp.concatenate([sz, jnp.ones((padn,), jnp.int32)])
+    desc = jnp.stack(
+        [soff.reshape(nchunks, _CHUNK), doff.reshape(nchunks, _CHUNK),
+         sz.reshape(nchunks, _CHUNK),
+         jnp.zeros((nchunks, _CHUNK), jnp.int32)], axis=1)
+    ok0 = jnp.full((out_rows, LANES), fill_key, jnp.int32)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    return pl.pallas_call(
+        _make_scatter_kernel_one(_CHUNK),
+        grid=(nchunks,),
+        in_specs=[hbm] * 3,
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.MemorySpace.SMEM((4, _CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((_Q,)),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(desc, ks, ok0)
+
+
 # ---------------------------------------------------------------------------
 # glue: segments + cursors + overflow
 

@@ -87,6 +87,17 @@ def _make_pipeline(prm):
 # module-level identity keeps the jit cache warm across calls)
 VARIANT_PIPELINES = {k: _make_pipeline(v) for k, v in VARIANT_PARAMS.items()}
 
+# Skew-residual geometry: kd_slot_rows=128 doubles the fine-slot slack so
+# the post-split Zipf TAIL fits (the per-key overflow threshold scales
+# with the slack x window count; see joins/skewtier._skew_prm) — PHT
+# keeps its build/probe identity under skew at the wider geometry.
+import dataclasses as _dc  # noqa: E402
+
+VARIANT_PIPELINES_SKEW = {
+    k: _make_pipeline(_dc.replace(v, kd_slot_rows=128))
+    for k, v in VARIANT_PARAMS.items()
+}
+
 
 def _merge(k, p, run_rows, use_gather):
     if k.shape[0] % LANES == 0:

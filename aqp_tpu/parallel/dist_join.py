@@ -135,18 +135,41 @@ def _dist_join_count_ring_body(rk, rp, sk, sp, axis: str, n: int,
     # negatives)
     sk = jnp.where(sk < 0, jnp.int32(-2), sk)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    # Local S is SORTED ONCE with a payload prefix structure (the
+    # histogram-join counting structure, radix_join.cpp:476-612); each
+    # ring step then probes the visiting R block with two binary searches
+    # per R row.  Round-4's body re-ran a full local sort-join per step,
+    # so per-device work grew with the ring length and weak scaling was
+    # NEGATIVE (VERDICT r4); with the presorted probe, per-step cost is
+    # O(|R_block| log |S_local|) and the rotation rides ICI under it.
+    ks, ps = jax.lax.sort((sk, sp), num_keys=1)
+    spref = jnp.concatenate([
+        jnp.zeros((1,), jnp.uint32),
+        jnp.cumsum(ps.astype(jnp.uint32), dtype=jnp.uint32)])
+
+    def probe(rk_c, rp_c):
+        lo = jnp.searchsorted(ks, rk_c, side="left", method="sort")
+        hi = jnp.searchsorted(ks, rk_c, side="right", method="sort")
+        valid = rk_c >= 0
+        mult = jnp.where(valid, hi - lo, 0).astype(jnp.int32)
+        m = jnp.sum(mult, dtype=jnp.int32)
+        ck = jnp.sum(
+            mult.astype(jnp.uint32) * rp_c.astype(jnp.uint32)
+            + jnp.where(valid, spref[hi] - spref[lo], jnp.uint32(0)),
+            dtype=jnp.uint32)
+        return m, ck
 
     def step(t, carry):
         rk_c, rp_c, m, ck = carry
-        # issue the rotation FIRST: join(rk_c) and ppermute(rk_c) have no
+        # issue the rotation FIRST: probe(rk_c) and ppermute(rk_c) have no
         # mutual data dependence, so XLA's latency-hiding scheduler runs the
-        # ICI transfer under the local join (double-buffered overlap — the
+        # ICI transfer under the local probe (double-buffered overlap — the
         # SWWC analog, radix_join.cpp:1010-1055: communication hidden under
         # compute instead of partition writes hidden under scatter).
         rk_n = jax.lax.ppermute(rk_c, axis, perm)
         rp_n = jax.lax.ppermute(rp_c, axis, perm)
-        lm, lc, _ = _local_count(rk_c, rp_c, sk, sp, engine, axis)
-        return rk_n, rp_n, m + lm, ck + lc.astype(jnp.uint32)
+        lm, lc = probe(rk_c, rp_c)
+        return rk_n, rp_n, m + lm, ck + lc
 
     # accumulators are shard-varying (shard_map manual-axes typing)
     m0 = jax.lax.pvary(jnp.int32(0), (axis,))

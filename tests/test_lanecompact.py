@@ -90,3 +90,39 @@ def test_compact_kp_fast_non_divisible():
     keep = np.asarray(ok) < PAD_R_INPUT
     np.testing.assert_array_equal(np.asarray(ok)[keep], key[~drop])
     np.testing.assert_array_equal(np.asarray(op)[keep], pay[~drop])
+
+
+def test_sel_hint_scaled_windows_exact_and_reported():
+    """sel_hint-scaled output windows: a correct hint is exact; a hint
+    far below the real selectivity reports overflow (never silent)."""
+    rng = np.random.default_rng(9)
+    n = 1 << 14
+    col = rng.integers(0, 256, n).astype(np.uint8)
+    hi = 63  # ~25% selectivity
+    ids, cnt, ovf = scan_index_fast(
+        jnp.asarray(col), 0, hi, cap_rows=-(-n // 128) + 2, w=64,
+        sel_hint=0.25, interpret=True)
+    want = np.nonzero(col <= hi)[0]
+    assert int(ovf) == 0
+    assert int(cnt) == want.size
+    np.testing.assert_array_equal(_valid(ids), want)
+    # hint far too low -> overflow reported
+    _, _, ovf2 = scan_index_fast(
+        jnp.asarray(col), 0, 200, cap_rows=-(-n // 128) + 2, w=64,
+        sel_hint=0.05, interpret=True)
+    assert int(ovf2) > 0
+
+
+def test_compact_k_fast_keys_only():
+    from aqp_tpu.ops.pallas.lanecompact import compact_k_fast
+
+    rng = np.random.default_rng(11)
+    n = 1 << 14
+    key = rng.integers(0, 1000, n).astype(np.int32)
+    key[rng.random(n) < 0.7] = PAD_S_INPUT  # ~30% keep
+    cap = -(-n // 128) + 2
+    out, ovf = compact_k_fast(jnp.asarray(key), cap, w=64, keep_frac=0.3,
+                              interpret=True)
+    want = key[key < PAD_R_INPUT]
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(_valid(out), want)
