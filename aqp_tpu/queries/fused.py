@@ -65,16 +65,35 @@ def _masked(mask, key, payload, pad):
 
 def _compact(mask, key, payload, cap_elems: int, pad):
     """Bounded compaction: the lane compactor on TPU (no sort — 7 lane
-    stages + MXU row scatter, ops/pallas/lanecompact.py), XLA sort on CPU.
+    stages + MXU row scatter, ops/pallas/lanecompact.py) with
+    selectivity-scaled windows (the capacity IS the keep-rate bound;
+    overshoot is reported), XLA sort on CPU.
     Returns (key[cap], payload[cap], ok)."""
     if _use_pallas() and key.shape[0] >= 32768 and cap_elems % 128 == 0:
         from aqp_tpu.ops.pallas.lanecompact import compact_kp_fast
 
         mk, mp = _masked(mask, key, payload, pad)
-        k, p, ovf = compact_kp_fast(mk, mp, cap_elems // 128, pad_key=pad)
+        kf = min(1.0, cap_elems / key.shape[0])
+        k, p, ovf = compact_kp_fast(mk, mp, cap_elems // 128, pad_key=pad,
+                                    keep_frac=kf)
         return k, p, ovf == 0
     k, p, count = F._compact_kp(mask, key, payload, pad)
     return k[:cap_elems], p[:cap_elems], count <= cap_elems
+
+
+def _compact_keys(mask, key, cap_elems: int, pad):
+    """Keys-only bounded compaction for count-join probe sides (the
+    keys-only pipeline never reads payloads).  Returns (key[cap], ok)."""
+    if _use_pallas() and key.shape[0] >= 32768 and cap_elems % 128 == 0:
+        from aqp_tpu.ops.pallas.lanecompact import compact_k_fast
+
+        mk = jnp.where(mask, key, pad)
+        kf = min(1.0, cap_elems / key.shape[0])
+        k, ovf = compact_k_fast(mk, cap_elems // 128, pad_key=pad,
+                                keep_frac=kf)
+        return k, ovf == 0
+    k, _, count = F._compact_kp(mask, key, key, pad)
+    return k[:cap_elems], count <= cap_elems
 
 
 def _mat_join(rk, rp, sk, sp, capacity: int):
@@ -114,10 +133,10 @@ def tpch_q3_fused(c: T.CustomerTable, o: T.OrdersTable, l: T.LineItemTable):
     j1, okj = _mat_join(ck, cp, okey, opay, okey.shape[0])
     # copy_Sp_Sp (result_transformers.hpp:66+): key = payload = o_orderkey
     uk = jnp.where(j1.key == -3, PAD_R_INPUT, j1.s_payload)
-    lmask, lkey, lpay = F.q3_mask_lineitem(l)
-    lk, lp = _masked(lmask, lkey, lpay, PAD_S_INPUT)
-    m, ok3 = _count_join(uk, j1.s_payload, lk, lp)
-    return m, ok1 & ok2 & okj & ok3
+    lmask, lkey, _ = F.q3_mask_lineitem(l)
+    lk, okc = _compact_keys(lmask, lkey, _cap(nl, 3, 4), PAD_S_INPUT)
+    m, ok3 = _count_join(uk, j1.s_payload, lk, jnp.zeros_like(lk))
+    return m, ok1 & ok2 & okj & okc & ok3
 
 
 @jax.jit
@@ -139,35 +158,69 @@ def tpch_q10_fused(c: T.CustomerTable, o: T.OrdersTable, l: T.LineItemTable,
     valid = j2.key != -3
     vk = jnp.where(valid, o.key[jnp.where(valid, j2.s_payload, 0)], PAD_R_INPUT)
     vp = jnp.where(valid, j2.s_payload, 0)
-    lmask, lkey, lpay = F.q10_mask_lineitem(l)
-    lk, lp = _masked(lmask, lkey, lpay, PAD_S_INPUT)
-    m, okl = _count_join(vk, vp, lk, lp)
-    return m, okf & okj1 & okj2 & okl
+    lmask, lkey, _ = F.q10_mask_lineitem(l)
+    lk, okc = _compact_keys(lmask, lkey, _cap(nl, 1, 2), PAD_S_INPUT)
+    m, okl = _count_join(vk, vp, lk, jnp.zeros_like(lk))
+    return m, okf & okj1 & okj2 & okc & okl
 
 
 @jax.jit
 def tpch_q12_fused(l: T.LineItemTable, o: T.OrdersTable):
     """Q12 fused: O ⋈ σ(L), count.  (tpch.cpp:218-252)  The 5-way lineitem
-    predicate keeps ~0.3% of rows; the filter is pushed into the Pallas
-    join's own partition pass."""
+    predicate keeps ~0.5% of rows, so the probe side is compacted through
+    the selectivity-scaled lane compactor before the keys-only count join
+    (compacting 60M -> ~400k shrinks the join's sort network ~4x)."""
     nl = l.key.shape[0]
-    lmask, lkey, lpay = F.q12_mask_lineitem(l)
-    lk, lp = _masked(lmask, lkey, lpay, PAD_S_INPUT)
-    m, okl = _count_join(o.key, o.rowid, lk, lp)
-    return m, okl
+    lmask, lkey, _ = F.q12_mask_lineitem(l)
+    lk, okc = _compact_keys(lmask, lkey, _cap(nl, 1, 48), PAD_S_INPUT)
+    m, okl = _count_join(o.key, o.rowid, lk, jnp.zeros_like(lk))
+    return m, okc & okl
 
 
 @jax.jit
 def tpch_q19_fused(l: T.LineItemTable, p: T.PartTable):
-    """Q19 fused: σ(P) ⋈ σ(L) materialized, then the exact disjunctive
-    residual per output row via rowID gathers.  (tpch.cpp:254-309)
-    Prefilter selectivities: part ~14%, lineitem ~4%; join hit rate ~14%
-    of filtered lineitems -> materialize capacity |L|/32."""
+    """Q19 fused as ONE keys-only count join on BAND-CLASS COMPOSITE KEYS.
+
+    The reference materializes σ(P) ⋈ σ(L) and re-evaluates the exact
+    disjunctive residual per output row via rowID gathers
+    (q19FinalPredicate, Q19Predicates.hpp:58-78; tpch.cpp:254-309).  The
+    TPU-native form FOLDS the residual into the join key:
+
+      * each residual disjunct fixes an exact (brand, container-family,
+        size) PART conjunction — a part satisfies at most one, its CLASS
+        c ∈ {1,2,3} (class 0 parts can never appear in the result);
+      * the quantity windows [1,11]/[10,20]/[20,30] partition into five
+        DISJOINT BANDS [1,9][10,11][12,19][20][21,30]; class c accepts a
+        fixed band set (c=1:{0,1}, c=2:{1,2,3}, c=3:{3,4});
+      * R' = for each class-c part, one row per accepted band with key
+        partkey*8 + band (<= 3 rows/part, globally unique keys);
+        S' = each prefiltered lineitem probes partkey*8 + band(quantity).
+
+    A pair matches iff it satisfies the full Q19 predicate, so the count
+    join IS the query — no materialization, no gathers, no residual
+    pass.  The probe side is compacted (~4%) before the join."""
     nl, np_ = l.key.shape[0], p.key.shape[0]
-    pk, pp, okp = _compact(*F.q19_mask_part(p), _cap(np_, 1, 4), PAD_R_INPUT)
-    lk, lp, okl = _compact(*F.q19_mask_lineitem(l), _cap(nl, 1, 8), PAD_S_INPUT)
-    mat_cap = _cap(nl, 1, 32)
-    j, okj = _mat_join(pk, pp, lk, lp, mat_cap)
-    valid = j.key != -3
-    keep = F.q19_residual_predicate(p, l, j.r_payload, j.s_payload, valid)
-    return jnp.sum(keep, dtype=jnp.int32), okp & okl & okj
+    b, ct, sz = p.brand, p.container, p.size
+    c1 = (b == T.P_BRAND_12) & (ct >= 1) & (ct <= 4) & (sz >= 1) & (sz <= 5)
+    c2 = (b == T.P_BRAND_23) & (ct >= 5) & (ct <= 8) & (sz >= 1) & (sz <= 10)
+    c3 = (b == T.P_BRAND_34) & (ct >= 9) & (ct <= 12) & (sz >= 1) & (sz <= 15)
+    cls = jnp.where(c1, 1, jnp.where(c2, 2, jnp.where(c3, 3, 0)))
+    base = p.key * 8
+    band0 = jnp.where(cls == 1, 0, jnp.where(cls == 2, 1,
+                                             jnp.where(cls == 3, 3, -1)))
+    band1 = jnp.where(cls == 1, 1, jnp.where(cls == 2, 2,
+                                             jnp.where(cls == 3, 4, -1)))
+    band2 = jnp.where(cls == 2, 3, -1)
+    rk = jnp.concatenate([
+        jnp.where(bb >= 0, base + bb, PAD_R_INPUT)
+        for bb in (band0, band1, band2)])
+    lmask, lkey, _ = F.q19_mask_lineitem(l)  # partkey out-key, qty/mode/instr
+    q = l.quantity
+    band = jnp.where(q <= 9, 0, jnp.where(q <= 11, 1,
+                                          jnp.where(q <= 19, 2,
+                                                    jnp.where(q == 20, 3,
+                                                              4))))
+    lk, okc = _compact_keys(lmask, lkey * 8 + band, _cap(nl, 1, 16),
+                            PAD_S_INPUT)
+    m, okj = _count_join(rk, jnp.zeros_like(rk), lk, jnp.zeros_like(lk))
+    return m, okc & okj
