@@ -146,6 +146,71 @@ def _make_k3agg(prm: Rho3Params, nbg: int, use_gather: bool,
     return kernel
 
 
+def _pow2_floor(x: int) -> int:
+    return 1 << max(0, x.bit_length() - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "prm", "interpret"))
+def groupby_aggregate_routed_auto(key, value, capacity: int,
+                                  prm: Rho3Params = Rho3Params(),
+                                  interpret: bool = False) -> GroupByResult:
+    """Cardinality-robust routed aggregate: JITTERED range routing.
+
+    The plain routed pipeline overflows its fixed slots when a group's
+    row count exceeds the fine-slot slack (low-cardinality aggregates:
+    64 groups over 67M rows = 1M copies per key — the duplicate-mass
+    problem, notes/r5_probe1.log agg section).  The fix is salt-extended
+    routing: route on ekey = key*J + (i mod J) so every group splits into
+    J pseudo-groups that spread across regions; the per-region segmented
+    scans aggregate pseudo-groups exactly, and a tiny second-level
+    combine (sorted merge over <= capacity*J + boundary rows) collapses
+    them.  J is chosen from `capacity` (the caller's cardinality bound)
+    so pseudo-group sizes stay under the slot slack; J=1 degenerates to
+    the plain pipeline.  Keys >= MAX_KEY/J would alias under the
+    extension — pack_keys counts them into the overflow report, which
+    poisons num_groups (callers fall back), never silently wrong."""
+    jitter = max(1, min(4096, _pow2_floor(32768 // max(1, capacity))))
+    if jitter == 1:
+        return groupby_aggregate_routed(key, value, capacity, prm,
+                                        interpret)
+    n = key.shape[0]
+    j = (jnp.arange(n, dtype=jnp.int32) & (jitter - 1))
+    ekey = jnp.where(key < 0, key, key * jitter + j)
+    cap1 = capacity * jitter + 128 * prm.f1 * prm.f2 + 128
+    g = groupby_aggregate_routed(ekey, value, cap1, prm, interpret)
+    big = jnp.int32(2 ** 31 - 1)
+    base = jnp.where(g.key == HOLE, big, g.key // jitter)
+    base, cnt, sm, mn, mx = jax.lax.sort(
+        (base, g.count, g.sum.astype(jnp.int32),
+         jnp.where(g.key == HOLE, big, g.min),
+         jnp.where(g.key == HOLE, -big - 1, g.max)), num_keys=1)
+    live = base != big
+    start = jnp.concatenate(
+        [live[:1], live[1:] & (base[1:] != base[:-1])])
+    gid = jnp.where(live, jnp.cumsum(start.astype(jnp.int32)) - 1,
+                    capacity)
+    okey = jnp.full((capacity,), HOLE, jnp.int32).at[gid].set(
+        base, mode="drop")
+    ocnt = jnp.zeros((capacity,), jnp.int32).at[gid].add(cnt, mode="drop")
+    osum = jnp.zeros((capacity,), jnp.int32).at[gid].add(sm, mode="drop")
+    omin = jnp.full((capacity,), big, jnp.int32).at[gid].min(
+        mn, mode="drop")
+    omax = jnp.full((capacity,), -big - 1, jnp.int32).at[gid].max(
+        mx, mode="drop")
+    num = jnp.sum(start, dtype=jnp.int32)
+    # first-level overflow (poisoned num_groups) must stay poisoned
+    num = jnp.where(g.num_groups > cap1, jnp.int32(1 << 30), num)
+    livemask = okey != HOLE
+    return GroupByResult(
+        num_groups=num,
+        key=okey,
+        count=jnp.where(livemask, ocnt, 0),
+        sum=jnp.where(livemask, osum, 0).astype(jnp.uint32),
+        min=jnp.where(livemask, omin, 0),
+        max=jnp.where(livemask, omax, 0),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "prm", "interpret"))
 def groupby_aggregate_routed(key, value, capacity: int,
                              prm: Rho3Params = Rho3Params(),

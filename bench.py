@@ -152,7 +152,8 @@ def bench_aggregate(ns, mat, reps):
     asserted so the measured run is exact, never truncated.  Throughput
     counted over the live rows only (conservative)."""
     from aqp_tpu.ops.aggregate import groupby_aggregate
-    from aqp_tpu.ops.pallas.aggpipe import groupby_aggregate_routed
+    from aqp_tpu.ops.pallas.aggpipe import \
+        groupby_aggregate_routed_auto as groupby_aggregate_routed
     from aqp_tpu.ops.pallas.lanecompact import compact_kp_fast
     from aqp_tpu.ops.pallas.rho3 import PAD_S_INPUT
 

@@ -56,7 +56,8 @@ def main():
     args = ap.parse_args()
 
     from aqp_tpu.ops.aggregate import groupby_aggregate
-    from aqp_tpu.ops.pallas.aggpipe import groupby_aggregate_routed
+    from aqp_tpu.ops.pallas.aggpipe import \
+        groupby_aggregate_routed_auto as groupby_aggregate_routed
     on_tpu = jax.devices()[0].platform not in ("cpu",)
 
     n = 1 << (20 if args.small else 26)

@@ -63,3 +63,34 @@ def test_routed_aggregate_holes_dropped():
     dref = _dense(ref, 8192)
     dref.pop(-3, None)
     assert _dense(got, 8192) == dref
+
+
+def test_routed_auto_low_cardinality_jitter():
+    """Jittered routing: low-cardinality aggregates (massive per-key
+    duplicate mass) split into pseudo-groups and recombine exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aqp_tpu.ops.pallas.aggpipe import groupby_aggregate_routed_auto
+
+    rng = np.random.default_rng(3)
+    n = 1 << 14
+    k = 8
+    key = rng.integers(0, k, n).astype(np.int32)
+    val = rng.integers(-1000, 1000, n).astype(np.int32)
+    cap = 512  # -> jitter = 64
+    g = groupby_aggregate_routed_auto(jnp.asarray(key), jnp.asarray(val),
+                                      cap, interpret=True)
+    assert int(g.num_groups) == k
+    gk = np.asarray(g.key)
+    live = gk != -3
+    order = np.argsort(gk[live])
+    gkl = gk[live][order]
+    np.testing.assert_array_equal(gkl, np.arange(k))
+    for i, kk in enumerate(gkl):
+        m = key == kk
+        j = np.nonzero(live)[0][order][i]
+        assert int(g.count[j]) == int(m.sum())
+        assert int(g.sum[j]) == int(np.uint32(val[m].astype(np.int64).sum()
+                                             & 0xFFFFFFFF))
+        assert int(g.min[j]) == int(val[m].min())
+        assert int(g.max[j]) == int(val[m].max())
