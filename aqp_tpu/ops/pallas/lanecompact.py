@@ -247,6 +247,20 @@ def _ceil8(x: int) -> int:
     return max(8, -(-x // 8) * 8)
 
 
+HINT_LADDER = (0.02, 0.1, 0.3, 0.6, 1.0)
+
+
+def hint_ladder(sel: float | None) -> float | None:
+    """Quantize a selectivity hint to a small ladder so jit caches stay
+    warm across nearby selectivities (sel_hint is a static argument)."""
+    if sel is None:
+        return None
+    for f in HINT_LADDER:
+        if sel <= f:
+            return f
+    return 1.0
+
+
 def out_w_for(w: int, sel_hint: float | None, margin: float = 1.35) -> int:
     """Selectivity-scaled output rows per window: enough for sel_hint *
     margin plus binomial fluctuation, rounded to whole sublane groups.

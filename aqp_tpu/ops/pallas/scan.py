@@ -125,21 +125,28 @@ def _mask_to_kp(col, low, high, payload):
     return key, payload, cnt
 
 
-@functools.partial(jax.jit, static_argnames=("cap_rows", "interpret"))
-def scan_index_pallas(col, low, high, cap_rows: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("cap_rows", "sel_hint",
+                                             "interpret"))
+def scan_index_pallas(col, low, high, cap_rows: int,
+                      sel_hint: float | None = None,
+                      interpret: bool = False):
     """Implicit index scan: compacted row-ids of qualifying rows.
 
     Returns (rowids[cap_rows*128], count, overflow); empty slots carry
     PAD_S_INPUT (>= 2^30-1, never a row id).  Rides the lane-compaction
     kernel (ops/pallas/lanecompact.py — no sort, ~12 vector passes +
     MXU row scatter) instead of the block-sort compactor."""
-    from aqp_tpu.ops.pallas.lanecompact import scan_index_fast
+    from aqp_tpu.ops.pallas.lanecompact import hint_ladder, scan_index_fast
 
-    return scan_index_fast(col, low, high, cap_rows, interpret=interpret)
+    return scan_index_fast(col, low, high, cap_rows,
+                           sel_hint=hint_ladder(sel_hint),
+                           interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("cap_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cap_rows", "sel_hint",
+                                             "interpret"))
 def scan_values_pallas(col, low, high, cap_rows: int,
+                       sel_hint: float | None = None,
                        interpret: bool = False):
     """Value scan (SIMD512::scan): qualifying values, decompressed to int32
     and compacted.  Returns (rowids, values, count, overflow).
@@ -147,15 +154,18 @@ def scan_values_pallas(col, low, high, cap_rows: int,
     Compaction is block-granular: pad slots (rowid >= 2^30-1) may appear at
     block-boundary rows, so consumers mask by rowid — value filler (0) is
     NOT distinguishable on its own (0 is a legal column value)."""
-    from aqp_tpu.ops.pallas.lanecompact import scan_values_fast
+    from aqp_tpu.ops.pallas.lanecompact import hint_ladder, scan_values_fast
 
-    out_k, out_v, cnt, ovf = scan_values_fast(col, low, high, cap_rows,
-                                              interpret=interpret)
+    out_k, out_v, cnt, ovf = scan_values_fast(
+        col, low, high, cap_rows, sel_hint=hint_ladder(sel_hint),
+        interpret=interpret)
     return out_k, out_v, cnt, ovf
 
 
-@functools.partial(jax.jit, static_argnames=("cap_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cap_rows", "sel_hint",
+                                             "interpret"))
 def scan_dict_pallas(col, dict_lo, dict_hi, low, high, cap_rows: int,
+                     sel_hint: float | None = None,
                      interpret: bool = False):
     """Dict scan: qualifying 8-bit codes gathered through a 256-entry
     dictionary of 64-bit values stored as two int32 planes (the columnar
@@ -169,9 +179,10 @@ def scan_dict_pallas(col, dict_lo, dict_hi, low, high, cap_rows: int,
     through the (2,128)-plane dictionary), so the write volume matches the
     reference's dict mode: one 64-bit value per qualifying row — and no
     serialized HBM gather pass."""
-    from aqp_tpu.ops.pallas.lanecompact import scan_dict_fast
+    from aqp_tpu.ops.pallas.lanecompact import hint_ladder, scan_dict_fast
 
     return scan_dict_fast(col, dict_lo, dict_hi, low, high, cap_rows,
+                          sel_hint=hint_ladder(sel_hint),
                           interpret=interpret)
 
 

@@ -76,12 +76,14 @@ def make_fns(col, n, engine, cap_rows, dict_lo, dict_hi):
                     lambda o: int(o), 0),
             "bitvector": (lambda lo, hi: ps.scan_bitvector_pallas(col, lo, hi),
                           lambda o: int(o[0]), 0.125),
-            "index": (lambda lo, hi: ps.scan_index_pallas(col, lo, hi, cap_rows),
-                      lambda o: int(o[1]), 4),
-            "values": (lambda lo, hi: ps.scan_values_pallas(col, lo, hi, cap_rows),
-                       lambda o: int(o[2]), 8),
-            "dict": (lambda lo, hi: ps.scan_dict_pallas(
-                col, dict_lo, dict_hi, lo, hi, cap_rows),
+            "index": (lambda lo, hi, sel=None: ps.scan_index_pallas(
+                col, lo, hi, cap_rows, sel_hint=sel),
+                lambda o: int(o[1]), 4),
+            "values": (lambda lo, hi, sel=None: ps.scan_values_pallas(
+                col, lo, hi, cap_rows, sel_hint=sel),
+                lambda o: int(o[2]), 8),
+            "dict": (lambda lo, hi, sel=None: ps.scan_dict_pallas(
+                col, dict_lo, dict_hi, lo, hi, cap_rows, sel_hint=sel),
                 lambda o: int(o[3]), 12),
         }
     from aqp_tpu.ops import scan as xs
@@ -135,7 +137,13 @@ MODES = ("count", "sum", "bitvector", "index", "values", "dict")
 def run_config(fns, mode, sel, n, reps):
     fn, fetch, wb = fns[mode]
     lo, hi = sel_bounds(sel)
-    t = time_async(lambda: fn(lo, hi), reps, fetch)
+    import inspect
+
+    takes_sel = "sel" in inspect.signature(fn).parameters
+    if takes_sel:
+        t = time_async(lambda: fn(lo, hi, sel / 100.0), reps, fetch)
+    else:
+        t = time_async(lambda: fn(lo, hi), reps, fetch)
     read_gbs = n / t / 1e9  # 1 byte/row
     write_gbs = (n * (sel / 100.0) * wb) / t / 1e9 if wb else 0.0
     return t, read_gbs, write_gbs
