@@ -376,7 +376,7 @@ def scatter_segments_one(ks, soff, doff, sz, nseg: int, out_rows: int,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((_Q,)),
         ],
-        input_output_aliases={1: 0},
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(desc, ks, ok0)
 
