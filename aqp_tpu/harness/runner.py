@@ -25,6 +25,7 @@ import time
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 
 from aqp_tpu.config import JoinConfig
 from aqp_tpu.data import (
@@ -70,6 +71,11 @@ class ExperimentConfig:
     # False) never read them; halves HBM so the |R| sweep reaches the
     # reference's 524M-row top point on a 16 GB chip
     alias_payloads: bool = False
+    # run the matrix with 8-byte keys (reference KEY_8B, data-types.h:6-12):
+    # generators emit int64 relations and every engine takes the XLA core
+    # (the packed-key Pallas network is int32-only); requires
+    # jax.config.update("jax_enable_x64", True) before workload generation
+    key64: bool = False
     # serve the reference-equivalent count configuration: the reference's
     # count branch accumulates MATCHES ONLY and never reads payloads
     # (radix_join.cpp:428-447), so baseline-comparable runs disable the
@@ -85,14 +91,20 @@ class ExperimentConfig:
 
 
 def _gen_workload(size_r, size_s, skew, selectivity, seed_r, seed_s,
-                  alias_payloads=False):
-    relR = create_relation_pk(size_r, seed=seed_r)
+                  alias_payloads=False, key64=False):
+    dtype = jnp.int64 if key64 else jnp.int32
+    relR = create_relation_pk(size_r, seed=seed_r, dtype=dtype)
     if skew is not None:
         relS = create_relation_zipf(size_s, size_r, skew, seed=seed_s)
     elif selectivity is not None:
         relS = create_relation_fk_sel(size_s, size_r, selectivity, seed=seed_s)
     else:
-        relS = create_relation_fk(size_s, size_r, seed=seed_s)
+        relS = create_relation_fk(size_s, size_r, seed=seed_s, dtype=dtype)
+    if key64 and relS.key.dtype != jnp.int64:
+        from aqp_tpu.relation import Relation
+
+        relS = Relation(relS.key.astype(jnp.int64),
+                        relS.payload.astype(jnp.int64))
     if alias_payloads:
         from aqp_tpu.relation import Relation
 
@@ -112,9 +124,11 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
         if wkey not in cache:
             cache.clear()  # keep at most one workload resident (HBM budget)
             cache[wkey] = _gen_workload(nr, ns, skew, sel, cfg.seed_r,
-                                        cfg.seed_s, cfg.alias_payloads)
+                                        cfg.seed_s, cfg.alias_payloads,
+                                        cfg.key64)
         relR, relS = cache[wkey]
-        jc = JoinConfig(materialize=mat, checksum=cfg.checksum)
+        jc = JoinConfig(materialize=mat, checksum=cfg.checksum,
+                        key64=cfg.key64)
         try:
             if cfg.warmup and (alg, wkey, mat) not in warmed:
                 run_join(relR, relS, alg, jc)  # compile run, unrecorded
@@ -175,9 +189,11 @@ def run_experiments_pipelined(cfg: ExperimentConfig,
         if wkey not in cache:
             cache.clear()
             cache[wkey] = _gen_workload(nr, ns, skew, sel, cfg.seed_r,
-                                        cfg.seed_s, cfg.alias_payloads)
+                                        cfg.seed_s, cfg.alias_payloads,
+                                        cfg.key64)
         relR, relS = cache[wkey]
-        jc = JoinConfig(materialize=mat, checksum=cfg.checksum, defer=True)
+        jc = JoinConfig(materialize=mat, checksum=cfg.checksum, defer=True,
+                        key64=cfg.key64)
         try:
             res, t = run_join(relR, relS, alg, jc)  # compile, unrecorded
             res, t = finalize_join(relR, relS, res, t, alg, jc)

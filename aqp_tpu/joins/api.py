@@ -80,6 +80,11 @@ def finalize_join(
     (joins.cpp:55-78) with its task queues absorbing imbalance inline."""
     cfg = (config or JoinConfig()).replace(defer=False)
     if result.overflow is not None and int(result.overflow) != 0:
+        # a sampled residual-cap tier that overflowed would overflow again
+        # on every later deferred call for this relation — demote it first
+        from aqp_tpu.joins.skewtier import demote_resid
+
+        demote_resid(relS.key)
         return run_join(relR, relS, algorithm, cfg)
     timings.matches = int(result.matches)
     return result, timings

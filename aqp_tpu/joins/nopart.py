@@ -233,7 +233,7 @@ def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int,
             else:
                 tiers = [(plain, RETRY_SALTS[0]), (skewed, RETRY_SALTS[0])]
             tiers += [(plain, s) for s in RETRY_SALTS[1:]]
-            for fn, salt in tiers:
+            for i, (fn, salt) in enumerate(tiers):
                 m, c, ovf = fn(salt)
                 from aqp_tpu.relation import JoinResult
 
@@ -244,6 +244,12 @@ def _nopart(relR: Relation, relS: Relation, cfg: JoinConfig, window: int,
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     return JoinResult(matches=m, checksum=c), pt.t
+                if i == 0 and hinted and cap_rows:
+                    # sampled residual cap overflowed: demote the cached
+                    # plan so later calls ride the full-capacity tier
+                    from aqp_tpu.joins.skewtier import demote_resid
+
+                    demote_resid(relS.key)
             if cfg.checksum:
                 out = pt.time_fn(
                     "join", mergejoin.merge_join_count,

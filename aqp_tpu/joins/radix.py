@@ -216,6 +216,12 @@ def RHO(relR: Relation, relS: Relation, cfg: JoinConfig):
                 if int(ovf) == 0:
                     pt.t.phases["total"] = time.perf_counter() - t0
                     return JoinResult(matches=m, checksum=c), pt.t
+                if fn is skew_resid:
+                    # the sampled cap will fail identically next call:
+                    # demote the cached plan to the full-capacity tier
+                    from aqp_tpu.joins.skewtier import demote_resid
+
+                    demote_resid(relS.key)
         # adversarial skew beyond every tier: exact XLA core
         if cfg.materialize:
             out = pt.time_fn(

@@ -412,6 +412,18 @@ def skew_plan(s_key):
     return plan
 
 
+def demote_resid(s_key) -> None:
+    """Record that the sampled residual cap overflowed for this probe
+    relation: rewrite the cached plan to cap_rows=0 so every later
+    dispatch rides the full-capacity skew tier directly instead of
+    re-discovering the overflow (the deferred pipeline otherwise pays a
+    failed resid attempt + synchronous escalation PER CALL)."""
+    key = id(s_key)
+    hit = _HINT_CACHE.get(key)
+    if hit is not None and hit[0]() is s_key:
+        _HINT_CACHE[key] = (hit[0], (hit[1][0], 0))
+
+
 def skew_hint(s_key) -> bool:
     """Does a strided sample contain a qualifying heavy run?  (Cached —
     the dispatcher picks the heavy-split tier FIRST instead of burning a

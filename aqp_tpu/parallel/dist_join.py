@@ -148,8 +148,12 @@ def _dist_join_count_ring_body(rk, rp, sk, sp, axis: str, n: int,
         jnp.cumsum(ps.astype(jnp.uint32), dtype=jnp.uint32)])
 
     def probe(rk_c, rp_c):
-        lo = jnp.searchsorted(ks, rk_c, side="left", method="sort")
-        hi = jnp.searchsorted(ks, rk_c, side="right", method="sort")
+        # scan_unrolled = true binary search: O(|R_block| log |S_local|)
+        # gathers.  method="sort" re-sorts the CONCATENATION per lookup
+        # batch — O(|S| log |S|) per ring step, which made every step cost
+        # a full local sort and sank weak scaling (round-4 artifact).
+        lo = jnp.searchsorted(ks, rk_c, side="left", method="scan_unrolled")
+        hi = jnp.searchsorted(ks, rk_c, side="right", method="scan_unrolled")
         valid = rk_c >= 0
         mult = jnp.where(valid, hi - lo, 0).astype(jnp.int32)
         m = jnp.sum(mult, dtype=jnp.int32)

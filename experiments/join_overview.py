@@ -36,5 +36,29 @@ def main(small: bool = False):
     print(f"wrote results/join-overview.csv ({len(rows)} rows)")
 
 
+def main_key64(small: bool = False):
+    """KEY_8B rows (reference data-types.h:6-12): every engine takes the
+    XLA core (the packed-key Pallas network is int32-only — measured and
+    documented rather than silently absent).  MUST run in its own process:
+    jax_enable_x64 flips default dtypes for everything compiled after it.
+    Appends backend=tpu_k64 rows to the overview CSV."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    size = (1 << 16, 1 << 18) if small else (13_107_200, 52_428_800)
+    cfg = ExperimentConfig(
+        algorithms=["RHO", "PHT", "MWAY", "INL"],
+        sizes=[size],
+        reps=3,
+        key64=True,
+    )
+    rows = run_experiments_pipelined(cfg, backend="tpu_k64")
+    rows_to_csv(rows, "results/join-overview.csv", append=True)
+    print(f"appended {len(rows)} key64 rows to results/join-overview.csv")
+
+
 if __name__ == "__main__":
-    main(small="--small" in sys.argv)
+    if "--key64" in sys.argv:
+        main_key64(small="--small" in sys.argv)
+    else:
+        main(small="--small" in sys.argv)

@@ -56,10 +56,21 @@ def main():
     per_r, per_s = ((1 << 12, 1 << 14) if args.small
                     else (1 << 17, 1 << 19))
     rows = []
-    for mode in ("weak", "strong"):
+    # weak/strong: the hash-shuffle serving path's axes.  broadcast: the
+    # ring's DESIGN regime — R fixed and small (it rotates in full past
+    # every shard), S grows with the mesh; per-device probe work is
+    # |R| log |S/n| independent of n, so the ideal is flat time = rising
+    # total throughput.  On the weak axis (R grows with n) ANY broadcast
+    # join does n x the shuffle's probe work by construction — that row
+    # documents the crossover, not a defect.
+    for mode in ("weak", "strong", "broadcast"):
         for n in counts:
-            nr, ns = (per_r * n, per_s * n) if mode == "weak" else \
-                (per_r * counts[-1], per_s * counts[-1])
+            if mode == "weak":
+                nr, ns = per_r * n, per_s * n
+            elif mode == "strong":
+                nr, ns = per_r * counts[-1], per_s * counts[-1]
+            else:
+                nr, ns = per_r, per_s * n
             relR = create_relation_pk(nr, seed=601)
             relS = create_relation_fk(ns, nr, seed=602)
             mesh = make_mesh(n)
