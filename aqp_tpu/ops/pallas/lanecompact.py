@@ -67,17 +67,25 @@ def _lane_compact_map(m):
     Returns (s, crow): s[r, o] = source lane of the o-th valid lane in row
     r (garbage for o >= crow[r]); crow (W, 1) = per-row valid count.
     log2(128) = 7 stages of recursive doubling; each stage concatenates
-    adjacent compacted lane groups with one gather."""
+    adjacent compacted lane groups with ONE gather.  The group counts
+    need no gathers at all: a group's count is CONSTANT across its lanes,
+    so the neighbor group's count is one STATIC lane rotation away
+    (pltpu.roll) — the dynamic gathers were ~2/3 of the map's VPU cost
+    (chip ablation notes/r5_probe1.log)."""
     w = m.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 1)
     s = lane
+    # c[r, l] = valid count of the g-sized group CONTAINING lane l
     c = m.astype(jnp.int32)
     g = 1
     while g < LANES:
+        in_lower = (lane & (2 * g - 1)) < g
+        cl = pltpu.roll(c, g, axis=1)    # neighbor count from g lanes down
+        cr = pltpu.roll(c, LANES - g, axis=1)   # ... from g lanes up (cyclic)
+        a = jnp.where(in_lower, c, cl)       # lower-half count of the pair
+        chi = jnp.where(in_lower, cr, c)     # upper-half count of the pair
         t = lane & (2 * g - 1)
         b = lane - t
-        a = jnp.take_along_axis(c, b, axis=1)        # lower-group count
-        chi = jnp.take_along_axis(c, jnp.minimum(b + g, LANES - 1), axis=1)
         src = jnp.where(t < a, lane, b + g + (t - a))
         s = jnp.take_along_axis(s, jnp.clip(src, 0, LANES - 1), axis=1)
         c = a + chi

@@ -184,7 +184,24 @@ def family_selectivity(small, reps, rows):
             col = make_col(n)
             fns = make_fns(col, n, engine, n // LANES, dlo, dhi)
             for sel in sels:
-                got = run_config_safe(fns, mode, sel, n, reps)
+                fns_m = fns
+                if engine == "pallas" and mode in ("index", "values",
+                                                   "dict"):
+                    # selectivity-scaled output (the serving contract:
+                    # callers size the index buffer by expected matches;
+                    # a full-size buffer costs a 4n-byte pad fill that
+                    # the reference's preallocated-but-unfilled output
+                    # never pays).  The overflow channel validates the
+                    # bound — on ovf fall back to the full-size buffer.
+                    capf = min(1.0, sel / 100.0 * 1.6 + 0.002)
+                    capr = max(256, int(n * capf) // LANES)
+                    fns_m = make_fns(col, n, engine, capr, dlo, dhi)
+                    lo_, hi_ = sel_bounds(sel)
+                    if int(fns_m[mode][0](lo_, hi_, sel / 100.0)[-1]) != 0:
+                        log(f"sel {mode} sel={sel}: scaled cap overflowed"
+                            " - using full-size buffer")
+                        fns_m = fns
+                got = run_config_safe(fns_m, mode, sel, n, reps)
                 if got is None:
                     continue
                 t, r, w = got
