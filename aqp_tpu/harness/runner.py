@@ -169,6 +169,9 @@ def run_experiments(cfg: ExperimentConfig, backend: str = "tpu") -> List[Dict]:
     return rows
 
 
+_PIPE_WARM = False
+
+
 def run_experiments_pipelined(cfg: ExperimentConfig,
                               backend: str = "tpu") -> List[Dict]:
     """Async-pipelined variant of run_experiments (bench.py methodology —
@@ -198,6 +201,16 @@ def run_experiments_pipelined(cfg: ExperimentConfig,
             res, t = run_join(relR, relS, alg, jc)  # compile, unrecorded
             res, t = finalize_join(relR, relS, res, t, alg, jc)
             matches = t.matches
+            global _PIPE_WARM
+            if not _PIPE_WARM:
+                # the first timed loop in a fresh process otherwise runs
+                # ~8x slow (tunnel/runtime ramp-up, not the kernel — the
+                # identical config re-measures at full speed immediately
+                # after; r5 session logs), poisoning exactly one CSV row
+                for _ in range(2):
+                    res, _t2 = run_join(relR, relS, alg, jc)
+                hard_sync(res.matches)
+                _PIPE_WARM = True
             t0 = time.perf_counter()
             for _ in range(cfg.reps):
                 res, _ = run_join(relR, relS, alg, jc)

@@ -78,24 +78,27 @@ def main():
         cap = max(256, 2 * k)
         try:
             # engine pick mirrors bench.py: routed Pallas aggregate when it
-            # fits (overflow poisons num_groups), XLA sort-based otherwise
-            cap_routed = cap + 128 * 576  # + per-region boundary rows
+            # fits (overflow poisons num_groups), XLA sort-based otherwise.
+            # The capacity passed is the CARDINALITY bound — routed_auto
+            # derives its jitter factor and boundary-row slack from it
+            # (pre-padding it suppressed the jitter and sent every
+            # low-cardinality config to the XLA path, round-4 artifact).
             eng = "xla"
             if on_tpu:
                 try:
-                    g = groupby_aggregate_routed(key, pay, cap_routed)
-                    if int(g.num_groups) <= cap_routed:
+                    g = groupby_aggregate_routed(key, pay, cap)
+                    if int(g.num_groups) <= cap:
                         eng = "routed"
                 except Exception as err:
                     print(f"routed aggregate unavailable: "
                           f"{str(err)[:90]}", flush=True)
             if eng == "routed":
-                fn = lambda: groupby_aggregate_routed(key, pay, cap_routed)
+                fn = lambda: groupby_aggregate_routed(key, pay, cap)
             else:
                 fn = lambda: groupby_aggregate(key, pay, cap)
             g = fn()
             ng = int(g.num_groups)
-            assert ng <= cap_routed, (ng, cap)
+            assert ng <= cap, (ng, cap)
             t = timeit(fn, args.reps)
             mrows = n / t / 1e6
             print(f"groups=2^{e:<2d} ({ng:>8d} live, {eng:6s})  "
