@@ -171,7 +171,12 @@ def groupby_aggregate_routed_auto(key, value, capacity: int,
     poisons num_groups (callers fall back), never silently wrong."""
     jitter = max(1, min(4096, _pow2_floor(32768 // max(1, capacity))))
     if jitter == 1:
-        return groupby_aggregate_routed(key, value, capacity, prm,
+        # same boundary-row slack the jittered branch gives cap1: the
+        # plain pipeline emits up to one boundary row per (region, window)
+        # beyond the live groups; an unpadded capacity overflowed at
+        # cardinalities just under the jitter threshold (r5 session 3)
+        cap1 = capacity + 128 * prm.f1 * prm.f2 + 128
+        return groupby_aggregate_routed(key, value, cap1, prm,
                                         interpret)
     n = key.shape[0]
     j = (jnp.arange(n, dtype=jnp.int32) & (jitter - 1))
